@@ -1,0 +1,304 @@
+"""O(N) celerite solver as pure-functional JAX scans — the compute core.
+
+The reference implements the rank-R semiseparable LDL^T factorization as
+mutation-heavy scalar loops (reference src/celerite_solver.jl:12-158).
+Its vectorised "matrix form" (celerite_solver.jl:171-215) is already the
+natural TPU formulation: per time step, dense R-vector/RxR ops. Here that
+form becomes `lax.scan`s over static-shape carries:
+
+  factorization   S_n = (p p^T) o (S_{n-1} + D_{n-1} W W^T)     [RxR]
+                  D_n = suma + sigma^2_n - U_n^T S_n U_n
+                  W_n = (V_n - S_n U_n) / D_n
+  forward solve   f_n = p o (f_{n-1} + W_{n-1} z'_{n-1});  z'_n = y_n - U_n.f_n
+  backward solve  g_n = p o (g_{n+1} + U_{n+1} z_{n+1});   z_n = z'_n/D_n - W_n.g_n
+
+When vmapped over ~10^3 chains, each step's outer products become batched
+matmuls on the MXU; the big elementwise U/V/phi tables are built outside
+the scan on the VPU. Everything is reverse-mode differentiable (the
+reference relies on ForwardDiff instead, test/test_likelihood.jl:55).
+
+For log-depth (long N / low latency) see ops/kalman.py, the state-space
+associative-scan formulation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "CeleriteUV",
+    "build_uv",
+    "celerite_factor_solve",
+    "log_likelihood",
+    "logl",
+    "simulate",
+    "predict",
+    "predict_matmul",
+]
+
+
+class CeleriteUV(NamedTuple):
+    """Precomputed per-point tables (built on the VPU, outside the scans).
+
+    U[n] (R,)   : odd rows a cos(d t_n) + b sin(d t_n), even rows
+                  a sin(d t_n) - b cos(d t_n)
+    V[n] (R,)   : odd rows cos(d t_n), even rows sin(d t_n)
+    phi[n] (R,) : exp(-c (t_n - t_{n-1})) per row pair; phi[0] = 0
+    (layout matches reference celerite_solver.jl:33-63, interleaved)
+    """
+
+    U: jax.Array
+    V: jax.Array
+    phi: jax.Array
+
+
+def _interleave(odd, even):
+    """Stack (..., J) pairs into (..., 2J) interleaved [o1, e1, o2, e2, ...]."""
+    return jnp.stack([odd, even], axis=-1).reshape(*odd.shape[:-1], -1)
+
+
+def build_uv(a, b, c, d, t) -> CeleriteUV:
+    """Vectorised construction of the U, V, phi tables for times ``t``."""
+    td = t[:, None] * d[None, :]
+    co = jnp.cos(td)
+    si = jnp.sin(td)
+    U = _interleave(a * co + b * si, a * si - b * co)  # (N, R)
+    V = _interleave(co, si)  # (N, R)
+    dt = jnp.diff(t)
+    ec = jnp.exp(-dt[:, None] * c[None, :])  # (N-1, J)
+    phi = _interleave(ec, ec)
+    phi = jnp.concatenate([jnp.zeros_like(phi[:1]), phi], axis=0)  # (N, R)
+    return CeleriteUV(U=U, V=V, phi=phi)
+
+
+def celerite_factor_solve(
+    a, b, c, d, t, y, sigma2
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, CeleriteUV]:
+    """LDL^T factorization + K^{-1} y solve in three scans.
+
+    Returns ``(z, D, W, logdetD, uv)`` where ``z = K^{-1} y``,
+    ``D`` is the LDL^T diagonal, ``W`` the preconditioned V rows, and
+    ``logdetD = sum log |D_n|`` (abs as in reference
+    celerite_solver.jl:140).
+    """
+    uv = build_uv(a, b, c, d, t)
+    U, V, phi = uv
+    R = U.shape[-1]
+    suma = jnp.sum(a)
+    dtype = U.dtype
+
+    D1 = suma + sigma2[0]
+    W1 = V[0] / D1
+
+    def factor_step(carry, inp):
+        S, W_prev, D_prev = carry
+        Un, Vn, phin, s2n = inp
+        S = (phin[:, None] * phin[None, :]) * (
+            S + D_prev * (W_prev[:, None] * W_prev[None, :])
+        )
+        SU = S @ Un
+        Dn = suma + s2n - Un @ SU
+        Wn = (Vn - SU) / Dn
+        return (S, Wn, Dn), (Dn, Wn)
+
+    S0 = jnp.zeros((R, R), dtype=dtype)
+    (_, _, _), (D_rest, W_rest) = lax.scan(
+        factor_step,
+        (S0, W1, D1),
+        (U[1:], V[1:], phi[1:], sigma2[1:]),
+    )
+    D = jnp.concatenate([D1[None], D_rest])
+    W = jnp.concatenate([W1[None], W_rest], axis=0)
+    logdetD = jnp.sum(jnp.log(jnp.abs(D)))
+
+    # forward substitution: z' = (I + tril(U W^T))^{-1} y
+    def fwd_step(carry, inp):
+        f, zp_prev, W_prev = carry
+        Un, Wn, phin, yn = inp
+        f = phin * (f + W_prev * zp_prev)
+        zp = yn - Un @ f
+        return (f, zp, Wn), zp
+
+    f0 = jnp.zeros((R,), dtype=dtype)
+    _, zp_rest = lax.scan(
+        fwd_step, (f0, y[0], W[0]), (U[1:], W[1:], phi[1:], y[1:])
+    )
+    zp = jnp.concatenate([y[:1], zp_rest])
+
+    # backward substitution: z = D^{-1} z' then (I + triu(W U^T))^{-1}
+    def bwd_step(carry, inp):
+        g, z_next, U_next = carry
+        Un, Wn, phi_next, zpn, Dn = inp
+        g = phi_next * (g + U_next * z_next)
+        zn = zpn / Dn - Wn @ g
+        return (g, zn, Un), zn
+
+    zN = zp[-1] / D[-1]
+    _, z_rest = lax.scan(
+        bwd_step,
+        (jnp.zeros((R,), dtype=dtype), zN, U[-1]),
+        (U[:-1], W[:-1], phi[1:], zp[:-1], D[:-1]),
+        reverse=True,
+    )
+    z = jnp.concatenate([z_rest, zN[None]])
+    return z, D, W, logdetD, uv
+
+
+def logl(a, b, c, d, t, y, sigma2):
+    """Celerite GP log-likelihood (reference celerite_solver.jl:312-334).
+
+    loglike = -logdetD/2 - N log(2 pi)/2 - y^T K^{-1} y / 2
+    """
+    z, _, _, logdetD, _ = celerite_factor_solve(a, b, c, d, t, y, sigma2)
+    N = y.shape[0]
+    return -0.5 * logdetD - 0.5 * N * jnp.log(2.0 * jnp.pi) - 0.5 * jnp.dot(y, z)
+
+
+def log_likelihood(kernel, t, y, sigma2):
+    """Log-likelihood for a CeleriteKernel (reference celerite_solver.jl:262-294)."""
+    a, b, c, d = kernel.coefficients()
+    return logl(a, b, c, d, t, y, sigma2)
+
+
+def simulate(key, kernel, t, sigma2):
+    """Draw one GP realisation in O(N R) using the LDL^T factors.
+
+    y_1 = sqrt(D_1) q_1;  y_n = U_n . f_n + sqrt(D_n) q_n with
+    f_n = phi_{n-1} o (f_{n-1} + W_{n-1} sqrt(D_{n-1}) q_{n-1})
+    (reference celerite_solver.jl:515-549).
+    """
+    a, b, c, d = kernel.coefficients()
+    N = t.shape[0]
+    q = jax.random.normal(key, (N,), dtype=t.dtype)
+    # Factor only (solve not needed): reuse factor scan via a dummy solve.
+    uv = build_uv(a, b, c, d, t)
+    U, V, phi = uv
+    R = U.shape[-1]
+    suma = jnp.sum(a)
+    D1 = suma + sigma2[0]
+    W1 = V[0] / D1
+
+    def factor_step(carry, inp):
+        S, W_prev, D_prev = carry
+        Un, Vn, phin, s2n = inp
+        S = (phin[:, None] * phin[None, :]) * (
+            S + D_prev * (W_prev[:, None] * W_prev[None, :])
+        )
+        SU = S @ Un
+        Dn = suma + s2n - Un @ SU
+        Wn = (Vn - SU) / Dn
+        return (S, Wn, Dn), (Dn, Wn)
+
+    S0 = jnp.zeros((R, R), dtype=U.dtype)
+    _, (D_rest, W_rest) = lax.scan(
+        factor_step, (S0, W1, D1), (U[1:], V[1:], phi[1:], sigma2[1:])
+    )
+    D = jnp.concatenate([D1[None], D_rest])
+    W = jnp.concatenate([W1[None], W_rest], axis=0)
+    sqrtD_q = jnp.sqrt(jnp.maximum(D, 0.0)) * q
+
+    def sim_step(f, inp):
+        Un, Wn_prev, phin, sdqn, sdq_prev = inp
+        f = phin * (f + Wn_prev * sdq_prev)
+        yn = Un @ f + sdqn
+        return f, yn
+
+    f0 = jnp.zeros((R,), dtype=U.dtype)
+    _, y_rest = lax.scan(
+        sim_step,
+        f0,
+        (U[1:], W[:-1], phi[1:], sqrtD_q[1:], sqrtD_q[:-1]),
+    )
+    return jnp.concatenate([sqrtD_q[:1], y_rest])
+
+
+def predict_matmul(kernel, tau, t, y, sigma2):
+    """Posterior mean at ``tau``: O(N) solve + one (M,N)x(N,) MXU matmul.
+
+    TPU-first default: z = K^{-1} y via the celerite scans, then
+    mu = K(tau, t) @ z. The cross-covariance matmul is an ideal MXU op for
+    the N, M this domain uses (10^2..10^4). For very long series use
+    :func:`predict` (O((N+M) R) scan, same result).
+    """
+    a, b, c, d = kernel.coefficients()
+    z, *_ = celerite_factor_solve(a, b, c, d, t, y, sigma2)
+    Kcross = kernel(jnp.abs(tau[:, None] - t[None, :]))
+    return Kcross @ z
+
+
+def predict(kernel, tau, t, y, sigma2):
+    """Posterior mean at ``tau`` in O((N+M) R) via gated forward/backward scans.
+
+    Scan analog of the reference's O(N+M) predictor
+    (reference celerite_solver.jl:363-483): a forward sweep accumulates the
+    decayed sufficient statistic of all data points with t_n < tau_m, a
+    backward sweep the one with t_n > tau_m; gating is by precomputed
+    `searchsorted` indices instead of data-dependent control flow.
+    """
+    a, b, c, d = kernel.coefficients()
+    z, *_ = celerite_factor_solve(a, b, c, d, t, y, sigma2)
+
+    M = tau.shape[0]
+    # n0[m] = number of data points with t_n <= tau_m
+    n0 = jnp.searchsorted(t, tau, side="right")
+
+    # ---- forward: Qf[k] = sum_{n<=k} z_n [cos(d t_n); sin(d t_n)] decayed to t_k
+    def fwd(carry, inp):
+        Q = carry
+        tn, t_prev, zn = inp
+        Q = Q * jnp.exp(-c * (tn - t_prev))[None, :] + zn * jnp.stack(
+            [jnp.cos(d * tn), jnp.sin(d * tn)]
+        )
+        return Q, Q
+
+    J = a.shape[0]
+    Q0 = jnp.zeros((2, J), dtype=t.dtype)
+    t_prev = jnp.concatenate([t[:1], t[:-1]])
+    _, Qf = lax.scan(fwd, Q0, (t, t_prev, z))  # (N, 2, J)
+
+    # ---- backward: Qb[k] = sum_{n>=k} z_n [a cos + b sin; a sin - b cos](t_n) decayed to t_k
+    def bwd(carry, inp):
+        Q = carry
+        tn, t_next, zn = inp
+        Q = Q * jnp.exp(-c * (t_next - tn))[None, :] + zn * jnp.stack(
+            [a * jnp.cos(d * tn) + b * jnp.sin(d * tn),
+             a * jnp.sin(d * tn) - b * jnp.cos(d * tn)]
+        )
+        return Q, Q
+
+    t_next = jnp.concatenate([t[1:], t[-1:]])
+    _, Qb = lax.scan(bwd, Q0, (t, t_next, z), reverse=True)  # (N, 2, J)
+
+    # ---- combine per target point
+    def combine(m):
+        n_left = n0[m] - 1  # last data index with t <= tau_m (or -1)
+        tm = tau[m]
+        has_left = n0[m] > 0
+        tl = t[jnp.clip(n_left, 0, t.shape[0] - 1)]
+        Ql = Qf[jnp.clip(n_left, 0, t.shape[0] - 1)]
+        decay_l = jnp.exp(-c * (tm - tl))
+        mu_left = jnp.sum(
+            decay_l
+            * (
+                Ql[0] * (a * jnp.cos(d * tm) + b * jnp.sin(d * tm))
+                + Ql[1] * (a * jnp.sin(d * tm) - b * jnp.cos(d * tm))
+            )
+        )
+        mu_left = jnp.where(has_left, mu_left, 0.0)
+
+        n_right = n0[m]  # first data index with t > tau_m (or N)
+        has_right = n0[m] < t.shape[0]
+        tr = t[jnp.clip(n_right, 0, t.shape[0] - 1)]
+        Qr = Qb[jnp.clip(n_right, 0, t.shape[0] - 1)]
+        decay_r = jnp.exp(-c * (tr - tm))
+        mu_right = jnp.sum(
+            decay_r * (Qr[0] * jnp.cos(d * tm) + Qr[1] * jnp.sin(d * tm))
+        )
+        mu_right = jnp.where(has_right, mu_right, 0.0)
+        return mu_left + mu_right
+
+    return jax.vmap(combine)(jnp.arange(M))

@@ -1,0 +1,148 @@
+"""Celerite O(N) solver vs the dense O(N^3) oracle.
+
+The reference's load-bearing test pattern (test/test_likelihood.jl,
+test/test_scalablegp.jl:109-132, test/test_prediction.jl).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pioran_tpu import SingleBendingPowerLaw, approx, celerite_term, exp_term
+from pioran_tpu.ops import celerite as cel
+from pioran_tpu.ops import direct
+
+ALPHA1 = [0.2, 0.03, 0.1, 0.46, 0.1, 0.21, 0.74, 0.1, 0.03, 0.92]
+F1 = [1.3e-2, 1.32e-1, 5.53e-2, 3.3, 0.342, 3.2e1, 1.3, 4.0e1, 1.0e-2, 0.5]
+ALPHA2 = [3.2, 3.1, 2.3, 2.57, 3.6, 2.3, 2.1, 2.79, 3.3, 3.8]
+VARIANCES = [1.32, 35.3, 242.2, 46.6, 0.3, 0.244, 9.64, 0.75, 0.193, 0.21]
+MU = [1.2, 0.3, 0.1, 0.46, 0.1, 0.21, 0.74, 0.1, 0.03, 0.92]
+
+
+def _small_data():
+    t = jnp.array([0.0, 3.0, 3.2, 3.4, 45.5, 101.2])
+    y = jnp.array([1.3, 2.2, 4.21, 2.5, 3.3, 5.2])
+    yerr = jnp.array([0.1, 0.2, 0.1, 0.1, 0.2, 0.1])
+    return t, y, yerr
+
+
+@pytest.mark.parametrize("i", range(10))
+def test_loglike_matches_dense_small(i):
+    t, y, yerr = _small_data()
+    kern = approx(
+        SingleBendingPowerLaw(ALPHA1[i], F1[i], ALPHA2[i]),
+        1e-3, 1e2, 20, VARIANCES[i],
+    )
+    fast = float(cel.log_likelihood(kern, t, y - MU[i], yerr**2))
+    dense = -float(direct.log_likelihood_direct(kern, t, y - MU[i], yerr**2))
+    np.testing.assert_allclose(fast, dense, rtol=1e-9)
+
+
+def test_loglike_matches_dense_fixture(simu_log_data):
+    """489-point real fixture, parameters as reference test/test_likelihood.jl."""
+    t, y, yerr = map(jnp.asarray, simu_log_data)
+    f0 = 1.0 / (t[-1] - t[0]) / 100.0
+    fM = 1.0 / jnp.min(jnp.diff(t)) / 2.0 * 20.0
+    variance = float(jnp.var(y, ddof=1))
+    kern = approx(SingleBendingPowerLaw(0.82, 0.01, 3.3), f0, fM, 20, variance)
+    s2 = yerr**2
+    fast = float(cel.log_likelihood(kern, t, y, s2))
+    dense = -float(direct.log_likelihood_direct(kern, t, y, s2))
+    np.testing.assert_allclose(fast, dense, rtol=1e-9)
+
+
+def test_loglike_gradient_finite_and_matches_fd(simu_log_data):
+    t, y, yerr = map(jnp.asarray, simu_log_data)
+    f0 = 1.0 / (t[-1] - t[0]) / 100.0
+    fM = 1.0 / jnp.min(jnp.diff(t)) / 2.0 * 20.0
+
+    def loglike(p):
+        kern = approx(SingleBendingPowerLaw(p[0], p[1], p[2]), f0, fM, 20, p[3])
+        return cel.log_likelihood(kern, t, y - p[5], p[4] * yerr**2)
+
+    p = jnp.array([0.82, 0.01, 3.3, float(jnp.var(y, ddof=1)), 1.0, 0.0])
+    g = jax.grad(loglike)(p)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # central finite differences
+    eps = 1e-6
+    for k in range(6):
+        dp = jnp.zeros(6).at[k].set(eps * max(1.0, abs(float(p[k]))))
+        fd = (loglike(p + dp) - loglike(p - dp)) / (2 * dp[k])
+        np.testing.assert_allclose(float(g[k]), float(fd), rtol=2e-4, atol=1e-7)
+
+
+def test_predict_matches_dense(simu_log_data):
+    t, y, yerr = map(jnp.asarray, simu_log_data)
+    t, y, yerr = t[:200], y[:200], yerr[:200]
+    kern = approx(
+        SingleBendingPowerLaw(0.82, 0.01, 3.3),
+        1e-3, 1e1, 20, float(jnp.var(y, ddof=1)),
+    )
+    s2 = yerr**2
+    # target grids: observed, dense, shifted, random (reference test_prediction.jl)
+    rng = np.random.default_rng(0)
+    grids = {
+        "observed": np.asarray(t),
+        "dense": np.linspace(float(t[0]), float(t[-1]), 333),
+        "shifted": np.asarray(t) + 0.37,
+        "random": np.sort(rng.uniform(float(t[0]) - 5, float(t[-1]) + 5, 97)),
+    }
+    for name, tau in grids.items():
+        tau = jnp.asarray(tau)
+        dense = direct.predict_direct(kern, tau, t, y, s2)
+        mm = cel.predict_matmul(kern, tau, t, y, s2)
+        sc = cel.predict(kern, tau, t, y, s2)
+        np.testing.assert_allclose(np.asarray(mm), np.asarray(dense), rtol=1e-7,
+                                   atol=1e-9, err_msg=f"matmul {name}")
+        np.testing.assert_allclose(np.asarray(sc), np.asarray(dense), rtol=1e-7,
+                                   atol=1e-9, err_msg=f"scan {name}")
+
+
+def test_simulate_statistics():
+    """Prior draws have the kernel's variance and pass a covariance check."""
+    t = jnp.linspace(0.0, 100.0, 300)
+    kern = exp_term(2.0, 0.5)  # k(0) = 1.0
+    s2 = jnp.zeros_like(t)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4000)
+    draws = jax.vmap(lambda k: cel.simulate(k, kern, t, s2))(keys)
+    var = float(jnp.mean(jnp.var(draws, axis=0)))
+    np.testing.assert_allclose(var, 1.0, rtol=5e-2)
+    # empirical lag-1 covariance ~ k(dt)
+    dt = float(t[1] - t[0])
+    emp = float(jnp.mean(jnp.mean(draws[:, 1:] * draws[:, :-1], axis=0)))
+    np.testing.assert_allclose(emp, float(kern(dt)), rtol=7e-2)
+
+
+def test_simulate_matches_dense_distribution():
+    """A single draw transformed by the dense Cholesky^{-1} is ~N(0, I)."""
+    t = jnp.sort(jax.random.uniform(jax.random.PRNGKey(1), (150,)) * 50.0)
+    # (a, b, c, d) chosen with ac > bd so the term's PSD is positive
+    kern = celerite_term(1.3, 0.1, 0.5, 3.2) + exp_term(2.0, 0.1)
+    s2 = 0.01 * jnp.ones_like(t)
+    K = direct.covariance_matrix(kern, t, t) + jnp.diag(s2)
+    L = jnp.linalg.cholesky(K)
+    keys = jax.random.split(jax.random.PRNGKey(2), 500)
+    draws = jax.vmap(lambda k: cel.simulate(k, kern, t, s2))(keys)
+    whitened = jax.scipy.linalg.solve_triangular(L, draws.T, lower=True)
+    m = float(jnp.mean(whitened))
+    v = float(jnp.var(whitened))
+    assert abs(m) < 0.02
+    np.testing.assert_allclose(v, 1.0, rtol=3e-2)
+
+
+def test_vmapped_loglike_over_chains(simu_log_data):
+    """The whole chain params -> loglike is vmappable (the TPU hot path)."""
+    t, y, yerr = map(jnp.asarray, simu_log_data)
+    f0 = 1.0 / (t[-1] - t[0]) / 100.0
+    fM = 1.0 / jnp.min(jnp.diff(t)) / 2.0 * 20.0
+
+    def loglike(p):
+        kern = approx(SingleBendingPowerLaw(p[0], p[1], p[2]), f0, fM, 20, p[3])
+        return cel.log_likelihood(kern, t, y - p[5], p[4] * yerr**2)
+
+    base = jnp.array([0.82, 0.01, 3.3, float(jnp.var(y, ddof=1)), 1.0, 0.0])
+    P = jnp.stack([base * (1.0 + 0.01 * k) for k in range(8)])
+    batched = jax.jit(jax.vmap(loglike))(P)
+    single = jnp.stack([loglike(P[k]) for k in range(8)])
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(single), rtol=1e-10)
