@@ -44,9 +44,8 @@ def roots2coeffs(r):
         shifted = jnp.concatenate([jnp.zeros((1,), c.dtype), c[:-1]])
         return shifted - rk * c, None
 
-    # coefficients in descending-power order during the scan, flip at the end
     c, _ = jax.lax.scan(step, c, r)
-    return c[::-1]
+    return c
 
 
 def quad2roots(quad):
