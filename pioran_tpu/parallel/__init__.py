@@ -1,0 +1,26 @@
+"""Multi-chip parallelism: device meshes + sharded samplers.
+
+The reference's entire distributed story is process-level: Distributed.jl
+`pmap` over chains and MPI worker farms for ultranest likelihoods
+(reference examples/turing_distributed/single_pl.jl:1,80-81,
+examples/ultranest/single_pl.jl:19-21; SURVEY §2.6). The TPU-native
+replacement keeps everything on-device:
+
+- a 1-D (or ("hosts","chains")) `jax.sharding.Mesh`
+- chains/particles sharded over the mesh via `shard_map`
+- cross-chain warmup pooling, SMC evidence reduction and resampling as
+  XLA collectives (`pmean`/`psum`/`all_gather`) over ICI/DCN
+
+Use `jax.distributed.initialize()` before building the mesh on real
+multi-host pods; everything below is host-count agnostic.
+"""
+
+from .mesh import make_mesh, local_chain_count
+from .sharded import run_nuts_sharded, run_smc_sharded
+
+__all__ = [
+    "make_mesh",
+    "local_chain_count",
+    "run_nuts_sharded",
+    "run_smc_sharded",
+]

@@ -1,0 +1,82 @@
+"""Multi-device tests on the 8-device virtual CPU mesh.
+
+What the reference never tests (SURVEY §4: 'Multi-node behavior is not
+tested at all'): sharded-sampler correctness and collective plumbing.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pioran_tpu.parallel import make_mesh, run_nuts_sharded, run_smc_sharded
+from pioran_tpu.samplers.smc import run_smc
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh("chains")
+
+
+def test_nuts_sharded_gaussian(mesh):
+    cov = jnp.array([[2.0, 1.2], [1.2, 1.5]])
+    prec = jnp.linalg.inv(cov)
+    logp = lambda z: -0.5 * z @ prec @ z
+    C = 16  # 2 chains per device
+    z0 = jax.random.normal(jax.random.PRNGKey(0), (C, 2))
+    keys = jax.random.split(jax.random.PRNGKey(1), C)
+    samples, stats = run_nuts_sharded(
+        logp, z0, keys, mesh, num_warmup=200, num_samples=300
+    )
+    assert samples.shape == (C, 300, 2)
+    s = np.asarray(samples).reshape(-1, 2)
+    np.testing.assert_allclose(np.cov(s.T), np.asarray(cov), atol=0.3)
+    # pooled mass matrix: identical on every chain (pmean makes it global)
+    inv_mass = np.asarray(stats["inv_mass"])
+    np.testing.assert_allclose(inv_mass, np.tile(inv_mass[0], (16, 1)), rtol=1e-6)
+    # ... and close to the target marginal variances
+    np.testing.assert_allclose(inv_mass[0], np.diag(np.asarray(cov)), rtol=0.5)
+
+
+def test_smc_sharded_matches_single_device(mesh):
+    d, s0, s = 3, 2.0, 0.5
+    y = jnp.array([0.3, -1.2, 0.8])
+    loglike = lambda z: -0.5 * jnp.sum((y - z) ** 2) / s**2 - d / 2 * jnp.log(2 * jnp.pi * s**2)
+    logprior = lambda z: -0.5 * jnp.sum(z**2) / s0**2 - d / 2 * jnp.log(2 * jnp.pi * s0**2)
+    logZ_true = float(
+        -0.5 * np.sum(np.asarray(y) ** 2) / (s0**2 + s**2)
+        - d / 2 * np.log(2 * np.pi * (s0**2 + s**2))
+    )
+    mesh_p = make_mesh("particles")
+    p0 = s0 * jax.random.normal(jax.random.PRNGKey(0), (1024, d))
+    res = run_smc_sharded(loglike, logprior, p0, jax.random.PRNGKey(1), mesh_p)
+    assert abs(float(res.logZ) - logZ_true) < 0.2
+    post_mean = np.asarray(y) * s0**2 / (s0**2 + s**2)
+    np.testing.assert_allclose(np.asarray(res.particles).mean(0), post_mean, atol=0.12)
+    # against the single-device implementation
+    res1 = run_smc(loglike, logprior, p0, jax.random.PRNGKey(1))
+    assert abs(float(res.logZ) - float(res1.logZ)) < 0.2
+
+
+def test_sharded_gp_likelihood_chains(mesh, simu_log_data):
+    """The flagship likelihood, vmapped and sharded over 8 devices."""
+    import pioran_tpu as pt
+    from pioran_tpu.ops import celerite as cel
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    t, y, yerr = map(jnp.asarray, simu_log_data)
+    t, y, yerr = t[:100], y[:100], yerr[:100]
+    f0, fM = 1e-3, 1e1
+
+    def loglike(p):
+        kern = pt.approx(pt.SingleBendingPowerLaw(p[0], p[1], p[2]), f0, fM, 20, p[3])
+        return cel.log_likelihood(kern, t, y - p[5], p[4] * yerr**2)
+
+    base = jnp.array([0.82, 0.01, 3.3, 0.5, 1.0, 0.0])
+    P16 = jnp.stack([base * (1 + 0.01 * k) for k in range(16)])
+    sharding = NamedSharding(mesh, P("chains"))
+    P16_sharded = jax.device_put(P16, sharding)
+    out = jax.jit(jax.vmap(loglike))(P16_sharded)
+    ref = jax.jit(jax.vmap(loglike))(P16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-12)
