@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Headline benchmark: GP log-likelihood evals/s/chip on the flagship model.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The measured op is the full per-sampler-call chain of the reference
+(reference examples/ultranest/single_pl.jl:65-93): PSD construction +
+basis approximation (J=20 SHO) + O(N) celerite log-likelihood on the
+bundled 489-point light curve, vmapped over a 1024-chain batch — i.e.
+what one chip contributes to an SMC/MCMC sweep.
+
+``vs_baseline`` compares against the reference's single-threaded Julia
+solver on CPU: no timing numbers are committed upstream (BASELINE.md),
+so we use a measured stand-in: this machine's CPU running OUR f64
+single-chain jitted likelihood (a faithful proxy for Pioran's per-call
+cost, same algorithmic complexity O(N R^2), same N and J).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _build(dtype_name: str):
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import pioran_tpu as pt
+    from pioran_tpu.ops import celerite as cel
+
+    dtype = jnp.float64 if dtype_name == "f64" else jnp.float32
+    here = os.path.dirname(os.path.abspath(__file__))
+    A = np.loadtxt(os.path.join(here, "tests", "data", "simu.txt"))
+    t = jnp.asarray(A[:, 0], dtype)
+    y = jnp.asarray(A[:, 1], dtype)
+    yerr = jnp.asarray(A[:, 2], dtype)
+    f_min = float(1.0 / (A[-1, 0] - A[0, 0]))
+    f_max = float(1.0 / np.min(np.diff(A[:, 0])) / 2.0)
+    yn = jnp.log(y)
+
+    def loglike(params):
+        a1, f1, a2, var, nu, mu = (params[i] for i in range(6))
+        kern = pt.approx(pt.SingleBendingPowerLaw(a1, f1, a2), f_min, f_max, 20, var)
+        return cel.log_likelihood(kern, t, yn - mu, nu * yerr**2 / y**2)
+
+    p = jnp.asarray([0.761, 0.00414, 2.777, 0.0223, 1.113, 0.247], dtype)
+    return loglike, p
+
+
+def _time(fn, args, iters=20):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # --- device path: 1024-chain vmapped batch on the default platform ---
+    loglike, p = _build("f32")
+    batch = 1024
+    P = jnp.tile(p, (batch, 1)) * (
+        1.0 + 0.001 * jax.random.normal(jax.random.PRNGKey(0), (batch, 6), jnp.float32)
+    )
+    fn = jax.jit(jax.vmap(loglike))
+    dt = _time(fn, (P,))
+    evals_per_s = batch / dt
+
+    # --- CPU f64 single-chain baseline proxy (reference-style per-call cost) ---
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        jax.config.update("jax_enable_x64", True)
+        loglike64, p64 = _build("f64")
+        fn1 = jax.jit(loglike64)
+        dt1 = _time(fn1, (p64,), iters=20)
+        jax.config.update("jax_enable_x64", False)
+    baseline_evals_per_s = 1.0 / dt1
+
+    print(json.dumps({
+        "metric": "gp_loglike_evals_per_s_per_chip",
+        "value": round(evals_per_s, 1),
+        "unit": "evals/s (N=489, J=20, batch=1024, f32)",
+        "vs_baseline": round(evals_per_s / baseline_evals_per_s, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -165,6 +165,23 @@ def integrate_psd_feature(a, b, c, d, x1, x2):
     return integral_celerite(a, b, c, d, x2) - integral_celerite(a, b, c, d, x1)
 
 
+def get_norm_psd(
+    amplitudes, points, f_min, f_max, basis_function: str,
+    is_integrated_power: bool = True, feat_coefs=None,
+):
+    """Normalisation of a basis-function sum (reference src/psd.jl:375-395):
+    the band power on [f_min, f_max], or the total 0..inf variance."""
+    if is_integrated_power:
+        integ = integrate_basis_function(amplitudes, points, f_min, f_max, basis_function)
+        if feat_coefs is not None:
+            fa, fb, fc, fd = feat_coefs
+            integ = integ + jnp.sum(integrate_psd_feature(fa, fb, fc, fd, f_min, f_max))
+        return integ
+    if basis_function == "SHO":
+        return jnp.sum(amplitudes * points) * jnp.pi / _SQRT2
+    return jnp.sum(amplitudes * points) * 2.0 * jnp.pi / 3.0
+
+
 # --------------------------------------------------------------------------
 # approx: PSD model -> CeleriteKernel (reference src/psd.jl:214-289)
 # --------------------------------------------------------------------------

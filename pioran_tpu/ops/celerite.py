@@ -152,10 +152,19 @@ def logl(a, b, c, d, t, y, sigma2):
     """Celerite GP log-likelihood (reference celerite_solver.jl:312-334).
 
     loglike = -logdetD/2 - N log(2 pi)/2 - y^T K^{-1} y / 2
+
+    If the LDL^T diagonal is not strictly positive (K not PD — possible
+    for extreme parameters, and in f32 via roundoff) the likelihood is
+    ``-inf``: without this, ``log|D|`` of a tiny/negative pivot creates
+    arbitrarily large fake likelihood spikes that samplers lock onto.
+    (The reference instead takes ``log abs(D)``, celerite_solver.jl:140,
+    but runs in f64 where its priors keep D positive.)
     """
-    z, _, _, logdetD, _ = celerite_factor_solve(a, b, c, d, t, y, sigma2)
+    z, D, _, logdetD, _ = celerite_factor_solve(a, b, c, d, t, y, sigma2)
     N = y.shape[0]
-    return -0.5 * logdetD - 0.5 * N * jnp.log(2.0 * jnp.pi) - 0.5 * jnp.dot(y, z)
+    ll = -0.5 * logdetD - 0.5 * N * jnp.log(2.0 * jnp.pi) - 0.5 * jnp.dot(y, z)
+    ok = jnp.all(D > 0) & jnp.isfinite(ll)
+    return jnp.where(ok, ll, -jnp.inf)
 
 
 def log_likelihood(kernel, t, y, sigma2):

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["SMCResult", "run_smc", "systematic_resample"]
+__all__ = ["SMCResult", "run_smc", "run_smc_resumable", "systematic_resample"]
 
 
 class SMCResult(NamedTuple):
@@ -102,8 +102,44 @@ def run_smc(
     ``loglike_fn``/``prior_logpdf_fn`` map a single particle to a scalar.
     Returns :class:`SMCResult` with the log-evidence estimate.
     """
-    N, dim = particles0.shape
+    step = _make_step(
+        loglike_fn, prior_logpdf_fn, particles0.shape, particles0.dtype,
+        num_moves, target_ess, rw_scale,
+    )
+
+    def cond(state):
+        lam, i = state[3], state[5]
+        return (lam < 1.0) & (i < max_steps)
+
+    state = smc_init(
+        loglike_fn, prior_logpdf_fn, particles0, key, max_steps=max_steps
+    )
+    state = lax.while_loop(cond, step, state)
+    particles, loglikes, logpriors, lam, logZ, i, key, incr, lams, accs = state
+    return SMCResult(
+        particles=particles, logZ=logZ, num_steps=i,
+        log_evidence_path=incr, lambdas=lams, acceptance=accs,
+    )
+
+
+def smc_init(loglike_fn, prior_logpdf_fn, particles0, key, max_steps: int = 200):
+    """Initial SMC state tuple from prior draws (checkpointable pytree)."""
     dtype = particles0.dtype
+    loglikes0 = jax.vmap(loglike_fn)(particles0)
+    logpriors0 = jax.vmap(prior_logpdf_fn)(particles0)
+    return (
+        particles0, loglikes0, logpriors0,
+        jnp.zeros((), dtype), jnp.zeros((), dtype), jnp.zeros((), jnp.int32), key,
+        jnp.zeros((max_steps,), dtype), jnp.ones((max_steps,), dtype),
+        jnp.zeros((max_steps,), dtype),
+    )
+
+
+def _make_step(
+    shape_fn_loglike, prior_logpdf_fn, shape, dtype, num_moves, target_ess, rw_scale
+):
+    loglike_fn = shape_fn_loglike
+    N, dim = shape
     scale0 = 2.38 / jnp.sqrt(jnp.asarray(dim, dtype)) if rw_scale is None else rw_scale
 
     batch_loglike = jax.vmap(loglike_fn)
@@ -162,19 +198,55 @@ def run_smc(
         return (particles, loglikes, logpriors, lam, logZ, i + 1, key,
                 incr_hist, lam_hist, acc_hist)
 
-    def cond(state):
-        lam, i = state[3], state[5]
-        return (lam < 1.0) & (i < max_steps)
+    return step
 
-    loglikes0 = batch_loglike(particles0)
-    logpriors0 = batch_prior(particles0)
-    state = (
-        particles0, loglikes0, logpriors0,
-        jnp.zeros((), dtype), jnp.zeros((), dtype), jnp.zeros((), jnp.int32), key,
-        jnp.zeros((max_steps,), dtype), jnp.ones((max_steps,), dtype),
-        jnp.zeros((max_steps,), dtype),
-    )
-    state = lax.while_loop(cond, step, state)
+
+def run_smc_resumable(
+    loglike_fn: Callable,
+    prior_logpdf_fn: Callable,
+    particles0,
+    key,
+    checkpoint_dir: str,
+    num_moves: int = 5,
+    target_ess: float = 0.8,
+    max_steps: int = 200,
+    rw_scale: Optional[float] = None,
+    save_every: int = 1,
+    max_to_keep: int = 2,
+) -> SMCResult:
+    """:func:`run_smc` with orbax checkpoint/resume, ultranest-style.
+
+    The tempering loop runs on the host, one jitted step at a time; after
+    every ``save_every`` steps the full sampler state (particles, log
+    likelihoods/priors, temperature, logZ, PRNG key, histories) is written
+    atomically to ``checkpoint_dir``. Re-running with the same directory
+    resumes from the last finalized step (the analog of ultranest's
+    ``resume = true``, reference examples/ultranest/single_pl.jl:116).
+    Host-loop overhead is negligible: each step costs ``num_moves`` full
+    likelihood sweeps on device.
+    """
+    from ..checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(checkpoint_dir, max_to_keep=max_to_keep,
+                            save_every=save_every)
+    step = jax.jit(_make_step(
+        loglike_fn, prior_logpdf_fn, particles0.shape, particles0.dtype,
+        num_moves, target_ess, rw_scale,
+    ))
+
+    state = smc_init(loglike_fn, prior_logpdf_fn, particles0, key,
+                     max_steps=max_steps)
+    restored = mgr.restore(abstract_state=state)
+    if restored is not None:
+        state = jax.tree.map(
+            lambda tpl, cur: jnp.asarray(tpl, getattr(cur, "dtype", None)),
+            restored[0], state,
+        )
+
+    while float(state[3]) < 1.0 and int(state[5]) < max_steps:
+        state = step(state)
+        mgr.save(jax.tree.map(lambda x: x, state), int(state[5]))
+
     particles, loglikes, logpriors, lam, logZ, i, key, incr, lams, accs = state
     return SMCResult(
         particles=particles, logZ=logZ, num_steps=i,

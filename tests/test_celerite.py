@@ -146,3 +146,35 @@ def test_vmapped_loglike_over_chains(simu_log_data):
     batched = jax.jit(jax.vmap(loglike))(P)
     single = jnp.stack([loglike(P[k]) for k in range(8)])
     np.testing.assert_allclose(np.asarray(batched), np.asarray(single), rtol=1e-10)
+
+
+def test_loglike_minus_inf_on_non_pd(simu_log_data):
+    """Extreme parameters that break positive-definiteness must give -inf,
+    not a fake likelihood spike (f32 sampler-collapse regression)."""
+    import jax.numpy as jnp
+
+    from pioran_tpu.models.kernels import CeleriteKernel
+    from pioran_tpu.ops.celerite import log_likelihood
+
+    t, y, yerr = simu_log_data
+    t = jnp.asarray(t, jnp.float32)
+    yv = jnp.asarray(y, jnp.float32)
+    # a celerite term with b >> a is not a valid covariance -> K loses PD
+    kern = CeleriteKernel(
+        a=jnp.array([1e-3], jnp.float32),
+        b=jnp.array([5e3], jnp.float32),
+        c=jnp.array([1e-4], jnp.float32),
+        d=jnp.array([50.0], jnp.float32),
+    )
+    ll = log_likelihood(kern, t, yv - jnp.mean(yv), 1e-12 * jnp.ones_like(t))
+    assert ll == -jnp.inf
+
+    # valid kernel still finite
+    kern_ok = CeleriteKernel(
+        a=jnp.array([0.1], jnp.float32),
+        b=jnp.array([0.0], jnp.float32),
+        c=jnp.array([0.5], jnp.float32),
+        d=jnp.array([0.0], jnp.float32),
+    )
+    ll_ok = log_likelihood(kern_ok, t, yv - jnp.mean(yv), 0.01 * jnp.ones_like(t))
+    assert jnp.isfinite(ll_ok)
