@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark grid over (N, J) for every likelihood backend.
+
+Mirrors the reference's PkgBenchmark suite (reference
+benchmark/benchmarks.jl:16-20: N = 2^5..2^16, celerite J = 2..64,
+pioran J-bases 10..50, SHO & DRWCelerite) and its AirspeedVelocity
+table output (.github/workflows/benchmarks.yml), plus TPU-era columns:
+vmapped-batch throughput and the log-depth Kalman backend.
+
+Usage:
+    python benchmarks/bench_grid.py [--cpu] [--x64] [--batch 1024]
+        [--out results.json] [--profile trace_dir]
+
+Writes one JSON with per-cell timings and prints a markdown table.
+"""
+
+import argparse
+import json
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--x64", action="store_true")
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--profile", default=None,
+                    help="write a jax.profiler trace of the flagship cell")
+    ap.add_argument("--n-max-pow", type=int, default=13,
+                    help="largest N = 2^pow (reference goes to 2^16)")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pioran_tpu.models.kernels import CeleriteKernel
+    from pioran_tpu.ops.celerite import logl
+    from pioran_tpu.ops.kalman import logl_kalman, logl_kalman_sequential
+
+    dtype = jnp.float64 if args.x64 else jnp.float32
+    rng = np.random.default_rng(0)
+
+    def make_problem(N, J):
+        t = jnp.asarray(np.sort(rng.uniform(0, 1000.0, N)), dtype)
+        y = jnp.asarray(rng.normal(size=N), dtype)
+        s2 = jnp.asarray(0.05 + 0.1 * rng.uniform(size=N), dtype)
+        a = jnp.asarray(rng.uniform(0.5, 2.0, J), dtype)
+        b = jnp.asarray(a)  # SHO-style b = a
+        c = jnp.asarray(rng.uniform(0.05, 0.5, J), dtype)
+        d = jnp.asarray(c)
+        return a, b, c, d, t, y, s2
+
+    def timeit(fn, *fnargs, iters=args.iters):
+        out = fn(*fnargs)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*fnargs)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    backends = {
+        "celerite_scan": logl,
+        "kalman_seq": logl_kalman_sequential,
+        "kalman_assoc": logl_kalman,
+    }
+
+    Ns = [2**p for p in range(5, args.n_max_pow + 1)]
+    Js = [2, 8, 20, 32]
+    rows = []
+    for N in Ns:
+        for J in Js:
+            prob = make_problem(N, J)
+            cell = {"N": N, "J": J}
+            for name, fn in backends.items():
+                jf = jax.jit(fn)
+                try:
+                    dt = timeit(jf, *prob)
+                    val = float(jf(*prob))
+                    cell[name + "_ms"] = round(dt * 1e3, 4)
+                    cell[name + "_ok"] = bool(np.isfinite(val))
+                except Exception as e:  # noqa: BLE001 - report, keep sweeping
+                    cell[name + "_ms"] = None
+                    cell[name + "_ok"] = f"{type(e).__name__}"
+            # vmapped batch throughput on the scan backend (the sampler path)
+            if N <= 2048:
+                B = args.batch
+                a, b, c, d, t, y, s2 = prob
+                A = jnp.tile(a, (B, 1)) * (
+                    1 + 0.01 * jax.random.normal(jax.random.PRNGKey(0), (B, J), dtype)
+                )
+                vf = jax.jit(jax.vmap(lambda aa: logl(aa, b, c, d, t, y, s2)))
+                dtb = timeit(vf, A)
+                cell["vmap_evals_per_s"] = round(B / dtb, 1)
+            rows.append(cell)
+            print(f"N={N:6d} J={J:2d}: " + "  ".join(
+                f"{k}={cell[k]}" for k in cell if k.endswith("_ms")
+            ))
+
+    if args.profile:
+        a, b, c, d, t, y, s2 = make_problem(4096, 20)
+        jf = jax.jit(logl)
+        jax.block_until_ready(jf(a, b, c, d, t, y, s2))
+        with jax.profiler.trace(args.profile):
+            jax.block_until_ready(jf(a, b, c, d, t, y, s2))
+        print(f"profiler trace -> {args.profile}")
+
+    result = {
+        "platform": jax.devices()[0].platform,
+        "dtype": str(dtype.__name__),
+        "batch": args.batch,
+        "rows": rows,
+    }
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(result, fh, indent=1)
+        print(f"wrote {args.out}")
+
+    # markdown summary (J=20 column, the flagship config)
+    print("\n| N | celerite ms | kalman_seq ms | kalman_assoc ms | vmap evals/s |")
+    print("|---|---|---|---|---|")
+    for cell in rows:
+        if cell["J"] == 20:
+            print(
+                f"| {cell['N']} | {cell['celerite_scan_ms']} | "
+                f"{cell['kalman_seq_ms']} | {cell['kalman_assoc_ms']} | "
+                f"{cell.get('vmap_evals_per_s', '-')} |"
+            )
+
+
+if __name__ == "__main__":
+    main()

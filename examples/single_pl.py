@@ -31,7 +31,9 @@ def main():
     ap.add_argument("--chains", type=int, default=16)
     ap.add_argument("--warmup", type=int, default=500)
     ap.add_argument("--samples", type=int, default=1000)
-    ap.add_argument("--moves", type=int, default=8)
+    ap.add_argument("--moves", type=int, default=12)
+    ap.add_argument("--move-kind", default="mala", choices=["rwm", "mala"])
+    ap.add_argument("--resume", action="store_true")
     ap.add_argument("--components", type=int, default=20)
     ap.add_argument("--basis", default="SHO", choices=["SHO", "DRWCelerite"])
     ap.add_argument("--seed", type=int, default=123)
@@ -91,7 +93,8 @@ def main():
         spec, sampler=args.sampler, key=jax.random.PRNGKey(args.seed),
         num_particles=args.particles, num_chains=args.chains,
         num_warmup=args.warmup, num_samples=args.samples,
-        num_moves=args.moves, log_dir=out,
+        num_moves=args.moves, smc_move=args.move_kind,
+        log_dir=out, resume=args.resume,
     )
     names = results["paramnames"]
     mean = results["posterior"]["mean"]

@@ -33,9 +33,11 @@ from .priors import (
     ThreeUniformDependent,
     TwoLogUniformDependent,
     TwoUniformDependent,
+    Uniform,
 )
 
-__all__ = ["GPModelSpec", "single_bending_model", "double_bending_model", "run_inference"]
+__all__ = ["GPModelSpec", "single_bending_model", "double_bending_model",
+           "periodic_rednoise_model", "run_inference"]
 
 
 @dataclass
@@ -136,8 +138,9 @@ def double_bending_model(
     basis_function: str = "SHO",
 ) -> GPModelSpec:
     """Double-bending-PL model (reference examples/ultranest/double_pl.jl):
-    theta = (a1, a2, a3, f1, f2, variance, nu, mu) with ordered alphas and
-    ordered bend frequencies."""
+    theta = (a1, a2, a3, f1, f2, variance, nu, mu) with ordered alphas
+    (a1 ~ U(0, 1.5), a2 ~ U(a1, 4), a3 ~ U(a2, 4), double_pl.jl:96-100)
+    and ordered bend frequencies."""
     t = jnp.asarray(t)
     y = jnp.asarray(y)
     yerr = jnp.asarray(yerr)
@@ -145,7 +148,7 @@ def double_bending_model(
     min_f_b, max_f_b = f_min / 20.0 * 4.0, f_max * 20.0 / 4.0
 
     prior = PriorSet([
-        ("alphas", ThreeUniformDependent(0.0, 1.25, 4.0)),
+        ("alphas", ThreeUniformDependent(0.0, 1.5, 4.0)),
         ("f_bends", TwoLogUniformDependent(min_f_b, max_f_b)),
         ("variance", LogNormal(2 * -1.5, np.sqrt(2.0) * 1.0)),
         ("nu", Gamma(2.0, 0.5)),
@@ -181,6 +184,72 @@ def double_bending_model(
     )
 
 
+def periodic_rednoise_model(
+    t, y, yerr, xbar, va,
+    n_components: int = 20,
+    basis_function: str = "SHO",
+) -> GPModelSpec:
+    """Periodic signal in red noise: single-bending-PL GP with a
+    sinusoidal CustomMean (reference
+    examples/ultranest/single_pl_periodicity.jl:103-148):
+
+    theta = (alpha_1, alpha_2, f_1, variance, nu, mu, A, phi, T0);
+    mean(t) = A sin(2 pi t / T0 + phi) + mu; NO log-transform:
+    sigma^2 = nu yerr^2. Priors: A ~ LogNormal(0,1), phi ~ U(0, 2 pi),
+    T0 ~ U(0, T_span); the rest as in the single-bending model.
+    """
+    from .models.gp import CustomMean
+
+    t = jnp.asarray(t)
+    y = jnp.asarray(y)
+    yerr = jnp.asarray(yerr)
+    f_min, f_max = _freq_range(np.asarray(t))
+    min_f_b, max_f_b = f_min / 20.0 * 4.0, f_max * 20.0 / 4.0
+    T_span = float(t[-1] - t[0])
+
+    prior = PriorSet([
+        ("alphas", TwoUniformDependent(0.0, 1.5, 4.0)),
+        ("f_1", LogUniform(min_f_b, max_f_b)),
+        ("variance", LogNormal(2 * -1.5, np.sqrt(2.0) * 1.0)),
+        ("nu", Gamma(2.0, 0.5)),
+        ("mu", Normal(xbar, 5.0 * np.sqrt(va))),
+        ("A", LogNormal(0.0, 1.0)),
+        ("phi", Uniform(0.0, 2.0 * np.pi)),
+        ("T0", Uniform(0.0, T_span)),
+    ])
+
+    def mean_fn(x, A, phi, T0, mu):
+        return A * jnp.sin(2.0 * jnp.pi * x / T0 + phi) + mu
+
+    def loglike(th):
+        a1, a2, f1, var, nu, mu, A, phi, T0 = (th[i] for i in range(9))
+        kern = approx(
+            SingleBendingPowerLaw(a1, f1, a2), f_min, f_max,
+            n_components, var, basis_function=basis_function,
+        )
+        m = mean_fn(t, A, phi, T0, mu)
+        return cel.log_likelihood(kern, t, y - m, nu * yerr**2)
+
+    def gp_model(tt, yy, ee, th):
+        a1, a2, f1, var, nu, mu, A, phi, T0 = (th[i] for i in range(9))
+        kern = approx(
+            SingleBendingPowerLaw(a1, f1, a2), f_min, f_max,
+            n_components, var, basis_function=basis_function,
+        )
+        mean = CustomMean(lambda x: mean_fn(x, A, phi, T0, mu))
+        return ScalableGP(mean, kern)(jnp.asarray(tt), nu * jnp.asarray(ee) ** 2)
+
+    return GPModelSpec(
+        prior=prior, loglike=loglike,
+        names=["α₁", "α₂", "f₁", "variance", "ν", "μ", "A", "ϕ", "T₀"],
+        gp_model=gp_model, psd_model=SingleBendingPowerLaw,
+        paramnames_split={"psd": ["α₁", "f₁", "α₂"], "norm": "variance",
+                          "scale_err": "ν", "mean": ["A", "ϕ", "T₀", "μ"]},
+        t=np.asarray(t), y=np.asarray(y), yerr=np.asarray(yerr),
+        f_min=f_min, f_max=f_max,
+    )
+
+
 def run_inference(
     spec: GPModelSpec,
     sampler: str = "smc",
@@ -191,6 +260,8 @@ def run_inference(
     num_samples: int = 1000,
     num_moves: int = 8,
     log_dir: Optional[str] = None,
+    smc_move: str = "mala",
+    resume: bool = False,
 ) -> Dict:
     """Run SMC / NUTS / ChEES on a model spec and write artifacts.
 
@@ -210,10 +281,20 @@ def run_inference(
             jax.vmap(prior.sample)(jax.random.split(k1, num_particles))
         )
         loglike_z = lambda z: spec.loglike(prior.from_unconstrained(z))
-        res = run_smc(
-            loglike_z, prior.unconstrained_logpdf, z0, k2,
-            num_particles=num_particles, num_moves=num_moves,
-        )
+        if resume and log_dir:
+            from .samplers.smc import run_smc_resumable
+
+            res = run_smc_resumable(
+                loglike_z, prior.unconstrained_logpdf, z0, k2,
+                checkpoint_dir=os.path.join(log_dir, "checkpoints"),
+                num_moves=num_moves, move=smc_move,
+            )
+        else:
+            res = run_smc(
+                loglike_z, prior.unconstrained_logpdf, z0, k2,
+                num_particles=num_particles, num_moves=num_moves,
+                move=smc_move,
+            )
         theta = np.asarray(jax.vmap(prior.from_unconstrained)(res.particles))
         extra = {
             "logz": float(res.logZ),

@@ -75,6 +75,64 @@ def build_uv(a, b, c, d, t) -> CeleriteUV:
     return CeleriteUV(U=U, V=V, phi=phi)
 
 
+def _factor(U, V, phi, sigma2, suma) -> Tuple[jax.Array, jax.Array]:
+    """The LDL^T factor scan: returns ``(D, W)``.
+
+    The R x R running state ``S`` dominates reverse-mode memory: a plain
+    scan saves it at every step, i.e. O(N R^2) residuals *per vmapped
+    chain* (20 GB for 2048 particles at N=484, R=40 — exceeds HBM). The
+    scan is therefore blocked into ~sqrt(N) chunks with `jax.checkpoint`
+    on the inner scan: only block-boundary carries are stored and the
+    backward pass recomputes within blocks, O(sqrt(N) R^2) memory at
+    ~1 extra forward of FLOPs.
+    """
+    N, R = U.shape
+    dtype = U.dtype
+    D1 = suma + sigma2[0]
+    W1 = V[0] / D1
+
+    def factor_step(carry, inp):
+        S, W_prev, D_prev = carry
+        Un, Vn, phin, s2n = inp
+        S = (phin[:, None] * phin[None, :]) * (
+            S + D_prev * (W_prev[:, None] * W_prev[None, :])
+        )
+        SU = S @ Un
+        Dn = suma + s2n - Un @ SU
+        Wn = (Vn - SU) / Dn
+        return (S, Wn, Dn), (Dn, Wn)
+
+    S0 = jnp.zeros((R, R), dtype=dtype)
+    steps = N - 1
+    K = max(int(steps**0.5), 1)
+    B = -(-steps // K)
+    pad = B * K - steps
+
+    def pad_block(x, fill=0.0):
+        padded = jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]
+        ) if pad else x
+        return padded.reshape((B, K) + x.shape[1:])
+
+    # padding rows are benign: phi=0 zeroes S, sigma2=1 keeps D positive;
+    # their (D, W) outputs are sliced off below.
+    inputs = (
+        pad_block(U[1:]), pad_block(V[1:]), pad_block(phi[1:]),
+        pad_block(sigma2[1:], 1.0),
+    )
+
+    @jax.checkpoint
+    def block_scan(carry, blk):
+        return lax.scan(factor_step, carry, blk)
+
+    _, (D_blk, W_blk) = lax.scan(block_scan, (S0, W1, D1), inputs)
+    D_rest = D_blk.reshape(B * K)[:steps]
+    W_rest = W_blk.reshape(B * K, R)[:steps]
+    D = jnp.concatenate([D1[None], D_rest])
+    W = jnp.concatenate([W1[None], W_rest], axis=0)
+    return D, W
+
+
 def celerite_factor_solve(
     a, b, c, d, t, y, sigma2
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, CeleriteUV]:
@@ -91,28 +149,7 @@ def celerite_factor_solve(
     suma = jnp.sum(a)
     dtype = U.dtype
 
-    D1 = suma + sigma2[0]
-    W1 = V[0] / D1
-
-    def factor_step(carry, inp):
-        S, W_prev, D_prev = carry
-        Un, Vn, phin, s2n = inp
-        S = (phin[:, None] * phin[None, :]) * (
-            S + D_prev * (W_prev[:, None] * W_prev[None, :])
-        )
-        SU = S @ Un
-        Dn = suma + s2n - Un @ SU
-        Wn = (Vn - SU) / Dn
-        return (S, Wn, Dn), (Dn, Wn)
-
-    S0 = jnp.zeros((R, R), dtype=dtype)
-    (_, _, _), (D_rest, W_rest) = lax.scan(
-        factor_step,
-        (S0, W1, D1),
-        (U[1:], V[1:], phi[1:], sigma2[1:]),
-    )
-    D = jnp.concatenate([D1[None], D_rest])
-    W = jnp.concatenate([W1[None], W_rest], axis=0)
+    D, W = _factor(U, V, phi, sigma2, suma)
     logdetD = jnp.sum(jnp.log(jnp.abs(D)))
 
     # forward substitution: z' = (I + tril(U W^T))^{-1} y
@@ -183,31 +220,11 @@ def simulate(key, kernel, t, sigma2):
     a, b, c, d = kernel.coefficients()
     N = t.shape[0]
     q = jax.random.normal(key, (N,), dtype=t.dtype)
-    # Factor only (solve not needed): reuse factor scan via a dummy solve.
     uv = build_uv(a, b, c, d, t)
     U, V, phi = uv
     R = U.shape[-1]
     suma = jnp.sum(a)
-    D1 = suma + sigma2[0]
-    W1 = V[0] / D1
-
-    def factor_step(carry, inp):
-        S, W_prev, D_prev = carry
-        Un, Vn, phin, s2n = inp
-        S = (phin[:, None] * phin[None, :]) * (
-            S + D_prev * (W_prev[:, None] * W_prev[None, :])
-        )
-        SU = S @ Un
-        Dn = suma + s2n - Un @ SU
-        Wn = (Vn - SU) / Dn
-        return (S, Wn, Dn), (Dn, Wn)
-
-    S0 = jnp.zeros((R, R), dtype=U.dtype)
-    _, (D_rest, W_rest) = lax.scan(
-        factor_step, (S0, W1, D1), (U[1:], V[1:], phi[1:], sigma2[1:])
-    )
-    D = jnp.concatenate([D1[None], D_rest])
-    W = jnp.concatenate([W1[None], W_rest], axis=0)
+    D, W = _factor(U, V, phi, sigma2, suma)
     sqrtD_q = jnp.sqrt(jnp.maximum(D, 0.0)) * q
 
     def sim_step(f, inp):

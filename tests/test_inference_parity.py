@@ -1,0 +1,87 @@
+"""End-to-end posterior parity with the reference's stored ultranest run.
+
+The reference ships a full nested-sampling posterior for the
+single-bending-PL model on examples/data/simu.txt (reference
+examples/ultranest/inference/simu_single/info/results.json: logZ =
+1014.013 +- 0.30, posterior means in tests/data/simu_single/results.json)
+computed on an exact cached 97% subset
+(simu_single_subset_time_series.txt). Running our SMC on that same
+subset with the same priors must reproduce the moments within MC error.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+DATA = os.path.join(os.path.dirname(__file__), "data", "simu_single")
+
+
+@pytest.fixture(scope="module")
+def stored():
+    with open(os.path.join(DATA, "results.json")) as fh:
+        return json.load(fh)
+
+
+@pytest.fixture(scope="module")
+def subset():
+    A = np.loadtxt(os.path.join(DATA, "simu_single_subset_time_series.txt"))
+    with open(os.path.join(DATA, "simu_single_subset_time_series.txt")) as fh:
+        for line in fh:
+            if line.startswith("#mean: "):
+                left, right = line[len("#mean: "):].split(" va: ")
+                xbar, va = float(left), float(right)
+                break
+    return A[:, 0], A[:, 1], A[:, 2], xbar, va
+
+
+def test_loglike_at_stored_posterior_mean(stored, subset):
+    """The GP log-likelihood at the stored posterior mean must beat the
+    stored logZ by a plausible KL gap and be close to the stored maximum
+    likelihood value."""
+    from pioran_tpu.inference import single_bending_model
+
+    t, y, yerr, xbar, va = subset
+    spec = single_bending_model(t, y, yerr, xbar, va)
+    # stored order: (a1, f1, a2, var, nu, mu) -> spec order (a1, a2, f1, ...)
+    m = stored["posterior"]["mean"]
+    theta = jnp.asarray([m[0], m[2], m[1], m[3], m[4], m[5]])
+    ll = float(jax.jit(spec.loglike)(theta))
+    assert np.isfinite(ll)
+    ml = stored["maximum_likelihood"]["logl"]
+    # at the posterior mean the loglike sits a few units below the MLE
+    assert ml - 25.0 < ll <= ml + 1e-6, (ll, ml)
+
+
+@pytest.mark.slow
+def test_smc_posterior_matches_ultranest(stored, subset):
+    """SMC moments vs ultranest moments, within combined MC error.
+
+    Marked slow (MALA SMC on CPU f64 takes ~10 min); run explicitly with
+    ``pytest -m slow tests/test_inference_parity.py``. The fast proxy in
+    the default suite is test_loglike_at_stored_posterior_mean (exact
+    likelihood parity) + the TPU driver runs recorded in BENCH notes."""
+    from pioran_tpu.inference import run_inference, single_bending_model
+
+    t, y, yerr, xbar, va = subset
+    spec = single_bending_model(t, y, yerr, xbar, va)
+    res = run_inference(
+        spec, sampler="smc", key=jax.random.PRNGKey(3),
+        num_particles=1024, num_moves=8, smc_move="mala",
+    )
+    # spec order -> stored order
+    ours_mean = np.asarray(res["posterior"]["mean"])[[0, 2, 1, 3, 4, 5]]
+    ours_std = np.asarray(res["posterior"]["stdev"])[[0, 2, 1, 3, 4, 5]]
+    ref_mean = np.asarray(stored["posterior"]["mean"])
+    ref_std = np.asarray(stored["posterior"]["stdev"])
+    # every marginal mean within 0.6 posterior-sd of the stored mean
+    pull = np.abs(ours_mean - ref_mean) / ref_std
+    assert np.all(pull < 0.75), (ours_mean, ref_mean, pull)
+    # posterior widths agree to a factor ~1.6
+    ratio = ours_std / ref_std
+    assert np.all((ratio > 0.6) & (ratio < 1.6)), ratio
+    # evidence within ~3x the reference's own logzerr
+    assert abs(res["logz"] - stored["logz"]) < 1.0, (res["logz"], stored["logz"])
