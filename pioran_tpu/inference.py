@@ -330,8 +330,26 @@ def run_inference(
             samples_z = samples_z.reshape(-1, samples_z.shape[-1])
         theta = np.asarray(jax.vmap(prior.from_unconstrained)(samples_z))
         extra = {"ncall": int(num_chains * (num_warmup + num_samples))}
+    elif sampler == "advi":
+        from .samplers.advi import run_advi
+
+        k1, k2 = jax.random.split(key)
+        z0 = prior.to_unconstrained(prior.sample(k1))
+        res = jax.jit(
+            lambda z, k: run_advi(
+                spec.logpost_unconstrained, z, k,
+                num_steps=num_warmup + num_samples, num_draws=num_samples,
+            )
+        )(z0, k2)
+        theta = np.asarray(jax.vmap(prior.from_unconstrained)(res.samples))
+        extra = {
+            "logz_lower": float(res.logZ_lower),
+            "ncall": int((num_warmup + num_samples) * 8),
+        }
     else:
-        raise ValueError(f"unknown sampler {sampler!r}; use smc, nuts or chees")
+        raise ValueError(
+            f"unknown sampler {sampler!r}; use smc, nuts, chees or advi"
+        )
 
     elapsed = time.time() - t0
     loglikes = np.asarray(jax.vmap(jax.jit(spec.loglike))(jnp.asarray(theta)))

@@ -85,3 +85,25 @@ def test_smc_posterior_matches_ultranest(stored, subset):
     assert np.all((ratio > 0.6) & (ratio < 1.6)), ratio
     # evidence within ~3x the reference's own logzerr
     assert abs(res["logz"] - stored["logz"]) < 1.0, (res["logz"], stored["logz"])
+
+
+def test_advi_lower_bounds_stored_logz(stored, subset):
+    """ADVI's ELBO must lower-bound the stored ultranest logZ with a
+    plausible KL gap, and the variational means must land within the
+    posterior bulk (mean-field ADVI is approximate: modes shift ~1 sd,
+    variances shrink)."""
+    from pioran_tpu.inference import run_inference, single_bending_model
+
+    t, y, yerr, xbar, va = subset
+    spec = single_bending_model(t, y, yerr, xbar, va)
+    res = run_inference(
+        spec, sampler="advi", key=jax.random.PRNGKey(5),
+        num_warmup=800, num_samples=400,
+    )
+    logz_ref = stored["logz"]
+    assert res["logz_lower"] < logz_ref + 0.5
+    assert res["logz_lower"] > logz_ref - 25.0
+    ours = np.asarray(res["posterior"]["mean"])[[0, 2, 1, 3, 4, 5]]
+    ref_mean = np.asarray(stored["posterior"]["mean"])
+    ref_std = np.asarray(stored["posterior"]["stdev"])
+    assert np.all(np.abs(ours - ref_mean) < 1.5 * ref_std + 0.05)

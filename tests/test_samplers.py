@@ -82,3 +82,50 @@ def test_nuts_reproducible():
     s1, _ = run_nuts(logp, z0, jax.random.PRNGKey(7), num_warmup=50, num_samples=50)
     s2, _ = run_nuts(logp, z0, jax.random.PRNGKey(7), num_warmup=50, num_samples=50)
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_advi_gaussian_posterior():
+    """ADVI on a conjugate Gaussian: mean-field q recovers mean and
+    marginal stddevs, and the final ELBO lower-bounds the true logZ."""
+    from pioran_tpu.samplers.advi import run_advi
+
+    d, s0, s = 4, 2.0, 0.5
+    y = jnp.array([0.3, -1.2, 0.8, 2.0])
+    post_var = 1.0 / (1.0 / s0**2 + 1.0 / s**2)
+    post_mean = np.asarray(y) * post_var / s**2
+    logZ_true = float(
+        -0.5 * np.sum(np.asarray(y) ** 2) / (s0**2 + s**2)
+        - d / 2 * np.log(2 * np.pi * (s0**2 + s**2))
+    )
+
+    def logpost(z):
+        ll = -0.5 * jnp.sum((y - z) ** 2) / s**2 - d / 2 * jnp.log(2 * jnp.pi * s**2)
+        lp = -0.5 * jnp.sum(z**2) / s0**2 - d / 2 * jnp.log(2 * jnp.pi * s0**2)
+        return ll + lp
+
+    res = run_advi(
+        logpost, jnp.zeros(d), jax.random.PRNGKey(0),
+        num_steps=1500, num_draws=4000,
+    )
+    np.testing.assert_allclose(np.asarray(res.mu), post_mean, atol=0.05)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(res.log_sigma)), np.sqrt(post_var), rtol=0.15
+    )
+    # mean-field q == true posterior here, so ELBO -> logZ
+    assert abs(float(res.logZ_lower) - logZ_true) < 0.1
+    s_draws = np.asarray(res.samples)
+    np.testing.assert_allclose(s_draws.mean(0), post_mean, atol=0.1)
+
+
+def test_advi_is_jittable_and_vmappable():
+    from pioran_tpu.samplers.advi import run_advi
+
+    logpost = lambda z: -0.5 * jnp.sum(z**2)
+    fit = jax.jit(
+        lambda z0, k: run_advi(logpost, z0, k, num_steps=50, num_draws=8)
+    )
+    z0s = jnp.zeros((3, 2))
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    out = jax.vmap(fit)(z0s, keys)
+    assert out.samples.shape == (3, 8, 2)
+    assert np.all(np.isfinite(np.asarray(out.elbo_trace)))
