@@ -48,8 +48,24 @@ def _build(dtype_name: str):
         kern = pt.approx(pt.SingleBendingPowerLaw(a1, f1, a2), f_min, f_max, 20, var)
         return cel.log_likelihood(kern, t, yn - mu, nu * yerr**2 / y**2)
 
+    def loglike_batch(P):
+        """Batched full chain: vmapped approx (small JxJ solves) feeding
+        the Pallas celerite kernel (ops/pallas_celerite.py) on TPU."""
+        from pioran_tpu.ops.pallas_celerite import batched_loglike
+
+        def coeffs(params):
+            a1, f1, a2, var, nu, mu = (params[i] for i in range(6))
+            kern = pt.approx(
+                pt.SingleBendingPowerLaw(a1, f1, a2), f_min, f_max, 20, var
+            )
+            a, b, c, d = kern.coefficients()
+            return a, b, c, d, yn - mu, nu * yerr**2 / y**2
+
+        a, b, c, d, yv, s2 = jax.vmap(coeffs)(P)
+        return batched_loglike(a, b, c, d, t, yv, s2)
+
     p = jnp.asarray([0.761, 0.00414, 2.777, 0.0223, 1.113, 0.247], dtype)
-    return loglike, p
+    return loglike, loglike_batch, p
 
 
 def _time(fn, args, iters=20):
@@ -68,13 +84,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # --- device path: 1024-chain vmapped batch on the default platform ---
-    loglike, p = _build("f32")
+    # --- device path: 1024-chain batch, Pallas kernel on TPU ---
+    loglike, loglike_batch, p = _build("f32")
     batch = 1024
     P = jnp.tile(p, (batch, 1)) * (
         1.0 + 0.001 * jax.random.normal(jax.random.PRNGKey(0), (batch, 6), jnp.float32)
     )
-    fn = jax.jit(jax.vmap(loglike))
+    fn = jax.jit(loglike_batch)
     dt = _time(fn, (P,))
     evals_per_s = batch / dt
 
@@ -82,7 +98,7 @@ def main():
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         jax.config.update("jax_enable_x64", True)
-        loglike64, p64 = _build("f64")
+        loglike64, _, p64 = _build("f64")
         fn1 = jax.jit(loglike64)
         dt1 = _time(fn1, (p64,), iters=20)
         jax.config.update("jax_enable_x64", False)
