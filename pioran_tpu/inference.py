@@ -60,11 +60,25 @@ class GPModelSpec:
     yerr: np.ndarray
     f_min: float
     f_max: float
+    loglike_batch: Optional[Callable] = None  # (B, dim) -> (B,), Pallas-backed
 
     def logpost_unconstrained(self, z):
         return self.prior.unconstrained_logpdf(z) + self.loglike(
             self.prior.from_unconstrained(z)
         )
+
+
+def _batched_loglike_from_coeffs(coeff_fn, t):
+    """(B, dim) -> (B,) likelihood: vmapped parameter->coefficient map
+    (small JxJ solves on the MXU) feeding the fused Pallas celerite
+    kernel (ops/pallas_celerite.py) on TPU, the scan oracle elsewhere."""
+    from .ops.pallas_celerite import batched_loglike
+
+    def loglike_batch(TH):
+        a, b, c, d, yv, s2 = jax.vmap(coeff_fn)(TH)
+        return batched_loglike(a, b, c, d, t, yv, s2)
+
+    return loglike_batch
 
 
 def _freq_range(t):
@@ -104,13 +118,18 @@ def single_bending_model(
     ])
     yn = jnp.log(y)
 
-    def loglike(th):
+    def coeff_fn(th):
         a1, a2, f1, var, nu, mu = (th[i] for i in range(6))
         kern = approx(
             SingleBendingPowerLaw(a1, f1, a2), f_min, f_max,
             n_components, var, S_low, S_high, basis_function=basis_function,
         )
-        return cel.log_likelihood(kern, t, yn - mu, nu * yerr**2 / y**2)
+        a, b, c, d = kern.coefficients()
+        return a, b, c, d, yn - mu, nu * yerr**2 / y**2
+
+    def loglike(th):
+        a, b, c, d, yv, s2 = coeff_fn(th)
+        return cel.logl(a, b, c, d, t, yv, s2)
 
     def gp_model(tt, yy, ee, th):
         a1, a2, f1, var, nu, mu = (th[i] for i in range(6))
@@ -129,6 +148,7 @@ def single_bending_model(
                           "scale_err": "ν", "mean": "μ"},
         t=np.asarray(t), y=np.asarray(y), yerr=np.asarray(yerr),
         f_min=f_min, f_max=f_max,
+        loglike_batch=_batched_loglike_from_coeffs(coeff_fn, t),
     )
 
 
@@ -156,13 +176,18 @@ def double_bending_model(
     ])
     yn = jnp.log(y)
 
-    def loglike(th):
+    def coeff_fn(th):
         a1, a2, a3, f1, f2, var, nu, mu = (th[i] for i in range(8))
         kern = approx(
             DoubleBendingPowerLaw(a1, f1, a2, f2, a3), f_min, f_max,
             n_components, var, basis_function=basis_function,
         )
-        return cel.log_likelihood(kern, t, yn - mu, nu * yerr**2 / y**2)
+        a, b, c, d = kern.coefficients()
+        return a, b, c, d, yn - mu, nu * yerr**2 / y**2
+
+    def loglike(th):
+        a, b, c, d, yv, s2 = coeff_fn(th)
+        return cel.logl(a, b, c, d, t, yv, s2)
 
     def gp_model(tt, yy, ee, th):
         a1, a2, a3, f1, f2, var, nu, mu = (th[i] for i in range(8))
@@ -181,6 +206,7 @@ def double_bending_model(
                           "norm": "variance", "scale_err": "ν", "mean": "μ"},
         t=np.asarray(t), y=np.asarray(y), yerr=np.asarray(yerr),
         f_min=f_min, f_max=f_max,
+        loglike_batch=_batched_loglike_from_coeffs(coeff_fn, t),
     )
 
 
@@ -221,14 +247,19 @@ def periodic_rednoise_model(
     def mean_fn(x, A, phi, T0, mu):
         return A * jnp.sin(2.0 * jnp.pi * x / T0 + phi) + mu
 
-    def loglike(th):
+    def coeff_fn(th):
         a1, a2, f1, var, nu, mu, A, phi, T0 = (th[i] for i in range(9))
         kern = approx(
             SingleBendingPowerLaw(a1, f1, a2), f_min, f_max,
             n_components, var, basis_function=basis_function,
         )
+        a, b, c, d = kern.coefficients()
         m = mean_fn(t, A, phi, T0, mu)
-        return cel.log_likelihood(kern, t, y - m, nu * yerr**2)
+        return a, b, c, d, y - m, nu * yerr**2
+
+    def loglike(th):
+        a, b, c, d, yv, s2 = coeff_fn(th)
+        return cel.logl(a, b, c, d, t, yv, s2)
 
     def gp_model(tt, yy, ee, th):
         a1, a2, f1, var, nu, mu, A, phi, T0 = (th[i] for i in range(9))
@@ -247,6 +278,7 @@ def periodic_rednoise_model(
                           "scale_err": "ν", "mean": ["A", "ϕ", "T₀", "μ"]},
         t=np.asarray(t), y=np.asarray(y), yerr=np.asarray(yerr),
         f_min=f_min, f_max=f_max,
+        loglike_batch=_batched_loglike_from_coeffs(coeff_fn, t),
     )
 
 
@@ -281,6 +313,11 @@ def run_inference(
             jax.vmap(prior.sample)(jax.random.split(k1, num_particles))
         )
         loglike_z = lambda z: spec.loglike(prior.from_unconstrained(z))
+        loglike_z_batch = None
+        if spec.loglike_batch is not None:
+            loglike_z_batch = lambda Z: spec.loglike_batch(
+                jax.vmap(prior.from_unconstrained)(Z)
+            )
         if resume and log_dir:
             from .samplers.smc import run_smc_resumable
 
@@ -288,12 +325,13 @@ def run_inference(
                 loglike_z, prior.unconstrained_logpdf, z0, k2,
                 checkpoint_dir=os.path.join(log_dir, "checkpoints"),
                 num_moves=num_moves, move=smc_move,
+                loglike_batch_fn=loglike_z_batch,
             )
         else:
             res = run_smc(
                 loglike_z, prior.unconstrained_logpdf, z0, k2,
                 num_particles=num_particles, num_moves=num_moves,
-                move=smc_move,
+                move=smc_move, loglike_batch_fn=loglike_z_batch,
             )
         theta = np.asarray(jax.vmap(prior.from_unconstrained)(res.particles))
         extra = {

@@ -82,7 +82,7 @@ def _find_dlambda(loglikes, lam, target_ess: float, num_bisect: int = 50):
     jax.jit,
     static_argnames=(
         "loglike_fn", "prior_logpdf_fn", "num_particles", "num_moves",
-        "max_steps", "move",
+        "max_steps", "move", "loglike_batch_fn",
     ),
 )
 def run_smc(
@@ -96,11 +96,16 @@ def run_smc(
     max_steps: int = 200,
     rw_scale: Optional[float] = None,
     move: str = "rwm",
+    loglike_batch_fn: Optional[Callable] = None,
 ):
     """Adaptive-tempering SMC from prior samples to the posterior.
 
     ``particles0``: (N, dim) draws from the prior (unconstrained space);
     ``loglike_fn``/``prior_logpdf_fn`` map a single particle to a scalar.
+    ``loglike_batch_fn`` (optional): a (N, dim) -> (N,) batched likelihood
+    used instead of ``vmap(loglike_fn)`` for every sweep — pass a
+    Pallas-kernel-backed function (ops/pallas_celerite.batched_loglike)
+    to put the whole particle cloud through the fused TPU kernel.
     ``move``: "rwm" (gradient-free) or "mala" (preconditioned Langevin
     moves — one extra backward pass per sweep, far better mixing along
     posterior ridges). The proposal scale adapts between temper steps
@@ -109,7 +114,7 @@ def run_smc(
     """
     step = _make_step(
         loglike_fn, prior_logpdf_fn, particles0.shape, particles0.dtype,
-        num_moves, target_ess, rw_scale, move,
+        num_moves, target_ess, rw_scale, move, loglike_batch_fn,
     )
 
     def cond(state):
@@ -118,7 +123,7 @@ def run_smc(
 
     state = smc_init(
         loglike_fn, prior_logpdf_fn, particles0, key, max_steps=max_steps,
-        rw_scale=rw_scale, move=move,
+        rw_scale=rw_scale, move=move, loglike_batch_fn=loglike_batch_fn,
     )
     state = lax.while_loop(cond, step, state)
     (particles, loglikes, logpriors, lam, logZ, i, key, incr, lams, accs,
@@ -130,11 +135,12 @@ def run_smc(
 
 
 def smc_init(loglike_fn, prior_logpdf_fn, particles0, key, max_steps: int = 200,
-             rw_scale=None, move: str = "rwm"):
+             rw_scale=None, move: str = "rwm", loglike_batch_fn=None):
     """Initial SMC state tuple from prior draws (checkpointable pytree)."""
     dtype = particles0.dtype
     dim = particles0.shape[-1]
-    loglikes0 = jax.vmap(loglike_fn)(particles0)
+    batch_ll = loglike_batch_fn or jax.vmap(loglike_fn)
+    loglikes0 = batch_ll(particles0)
     logpriors0 = jax.vmap(prior_logpdf_fn)(particles0)
     scale0 = _default_scale(dim, move, dtype) if rw_scale is None else (
         jnp.asarray(rw_scale, dtype))
@@ -154,19 +160,24 @@ def _default_scale(dim, move, dtype):
 
 def _make_step(
     shape_fn_loglike, prior_logpdf_fn, shape, dtype, num_moves, target_ess,
-    rw_scale, move: str = "rwm"
+    rw_scale, move: str = "rwm", loglike_batch_fn=None,
 ):
     loglike_fn = shape_fn_loglike
     N, dim = shape
     target_acc = 0.574 if move == "mala" else 0.234
 
-    batch_loglike = jax.vmap(loglike_fn)
+    batch_loglike = loglike_batch_fn or jax.vmap(loglike_fn)
     batch_prior = jax.vmap(prior_logpdf_fn)
-    # gradient of the tempered log-posterior, for Langevin moves
-    grad_post = jax.vmap(
-        jax.grad(lambda z, lam: lam * loglike_fn(z) + prior_logpdf_fn(z)),
-        in_axes=(0, None),
-    )
+
+    # per-particle gradients of the tempered log-posterior via the sum
+    # trick: particles decouple, so grad of the summed batched objective
+    # is the stacked per-particle gradient — and it rides the batched
+    # (Pallas custom_vjp) likelihood instead of a vmapped scalar grad.
+    def grad_post(Z, lam):
+        return jax.grad(
+            lambda Zz: jnp.sum(lam * batch_loglike(Zz))
+            + jnp.sum(batch_prior(Zz))
+        )(Z)
 
     def move_rwm(key, particles, loglikes, logpriors, grads, lam, chol, scale):
         """One preconditioned random-walk Metropolis sweep at temperature lam."""
@@ -288,6 +299,7 @@ def run_smc_resumable(
     save_every: int = 1,
     max_to_keep: int = 2,
     move: str = "rwm",
+    loglike_batch_fn: Optional[Callable] = None,
 ) -> SMCResult:
     """:func:`run_smc` with orbax checkpoint/resume, ultranest-style.
 
@@ -306,11 +318,12 @@ def run_smc_resumable(
                             save_every=save_every)
     step = jax.jit(_make_step(
         loglike_fn, prior_logpdf_fn, particles0.shape, particles0.dtype,
-        num_moves, target_ess, rw_scale, move,
+        num_moves, target_ess, rw_scale, move, loglike_batch_fn,
     ))
 
     state = smc_init(loglike_fn, prior_logpdf_fn, particles0, key,
-                     max_steps=max_steps, rw_scale=rw_scale, move=move)
+                     max_steps=max_steps, rw_scale=rw_scale, move=move,
+                     loglike_batch_fn=loglike_batch_fn)
     restored = mgr.restore(abstract_state=state)
     if restored is not None:
         state = jax.tree.map(
