@@ -361,9 +361,17 @@ def run_inference(
             z0 = jax.vmap(prior.to_unconstrained)(
                 jax.vmap(prior.sample)(jax.random.split(k1, num_chains))
             )
+            logpost_batch = None
+            if spec.loglike_batch is not None:
+                def logpost_batch(Z):
+                    lp = jax.vmap(prior.unconstrained_logpdf)(Z)
+                    return lp + spec.loglike_batch(
+                        jax.vmap(prior.from_unconstrained)(Z)
+                    )
             samples_z, stats = run_chees(
                 spec.logpost_unconstrained, z0, k2,
                 num_warmup=num_warmup, num_samples=num_samples,
+                logp_batch_fn=logpost_batch,
             )
             samples_z = samples_z.reshape(-1, samples_z.shape[-1])
         theta = np.asarray(jax.vmap(prior.from_unconstrained)(samples_z))

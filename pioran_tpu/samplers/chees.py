@@ -62,7 +62,8 @@ def _adam_update(state: _AdamState, grad, lr=0.025, b1=0.9, b2=0.999, eps=1e-8):
 
 @partial(
     jax.jit,
-    static_argnames=("logp_fn", "num_warmup", "num_samples", "max_leapfrogs"),
+    static_argnames=("logp_fn", "num_warmup", "num_samples", "max_leapfrogs",
+                     "logp_batch_fn"),
 )
 def run_chees(
     logp_fn: Callable,
@@ -74,15 +75,25 @@ def run_chees(
     initial_traj_length: float = 1.0,
     target_accept: float = 0.651,
     max_leapfrogs: int = 1024,
+    logp_batch_fn: Callable = None,
 ):
     """Run ChEES-HMC on a (C, dim) batch of chains.
 
     ``z0``: (C, dim) initial positions (shard the C axis for multi-chip).
+    ``logp_batch_fn`` (optional): batched (C, dim) -> (C,) log-posterior;
+    when given, every leapfrog evaluates values AND per-chain gradients
+    through it in one vjp (chains decouple) — pass a Pallas-backed
+    likelihood so the forward rides the fused kernel.
     Returns (samples [num_samples, C, dim], stats).
     """
     C, dim = z0.shape
     dtype = z0.dtype
-    batch_logp_grad = jax.vmap(jax.value_and_grad(logp_fn))
+    if logp_batch_fn is None:
+        batch_logp_grad = jax.vmap(jax.value_and_grad(logp_fn))
+    else:
+        def batch_logp_grad(Z):
+            logps, vjp = jax.vjp(logp_batch_fn, Z)
+            return logps, vjp(jnp.ones_like(logps))[0]
 
     def leapfrog_traj(z, r, grad, eps, n_steps, inv_mass):
         """n_steps leapfrogs for the whole batch (shared traced bound)."""
