@@ -440,11 +440,26 @@ def _forward_impl(a, b, c, d, t, y, sigma2):
 
 
 def _fwd(a, b, c, d, t, y, sigma2):
-    return _forward_impl(a, b, c, d, t, y, sigma2), (a, b, c, d, t, y, sigma2)
+    if _on_tpu():
+        from .pallas_celerite_vjp import fwd_aug_pallas
+
+        ll, tables = fwd_aug_pallas(a, b, c, d, t, y, sigma2,
+                                    chunk=16, kc=8)
+        return ll, (a, b, c, d, t, y, sigma2, ll, tables)
+    return _scan_batched(a, b, c, d, t, y, sigma2), (
+        a, b, c, d, t, y, sigma2, None, None)
 
 
 def _bwd(res, g):
-    a, b, c, d, t, y, sigma2 = res
+    a, b, c, d, t, y, sigma2, ll, tables = res
+    if tables is not None:
+        from .pallas_celerite_vjp import bwd_pallas
+
+        # non-PD chains carry ll = -inf; zero their cotangent (the scan
+        # VJP would emit NaN there — samplers mask non-finite either way)
+        g = jnp.where(jnp.isfinite(ll), g, jnp.zeros_like(g))
+        return bwd_pallas(a, b, c, d, t, y, sigma2, tables, g,
+                          chunk=16, kc=8)
     _, vjp = jax.vjp(lambda *args: _scan_batched(*args), a, b, c, d, t, y, sigma2)
     return vjp(g)
 

@@ -1,0 +1,562 @@
+"""Hand-derived celerite adjoint as Pallas TPU kernels — fast gradients.
+
+Why: reverse-mode through the `lax.scan` solver re-materializes the
+(B, R, R) running state through HBM in both directions; measured
+value_and_grad of the batched likelihood is ~15x the cost of the fused
+Pallas forward (123 ms vs 8 ms at B=1024, N=489, J=20). Gradients
+dominate every HMC-family sampler (NUTS / ChEES leapfrogs, MALA SMC
+moves), so the adjoint is where the remaining speed lives — the same
+conclusion as the reference ecosystem, whose celerite2 implements the
+Foreman-Mackey (2018) backprop rules instead of taping the recursion
+(reference src/celerite_solver.jl solves with ForwardDiff dual numbers,
+test/test_likelihood.jl:55 — a (1+n_params)x forward-cost multiplier).
+
+Scheme (all per lane = per chain, J rows per half, halves 0/1):
+
+forward step m (ops/pallas_celerite._fused_kernel, T made explicit):
+    T^{eh}_m = S^{eh}_{m-1} + D_{m-1} W^e_{m-1} (W^h_{m-1})^T
+    S^{eh}_m = (ec_m ec_m^T) o T^{eh}_m
+    q^e_m    = sum_h S^{eh}_m U^h_m          (S^{10} = (S^{01})^T)
+    D_m      = suma + s2_m - sum_e U^e_m . q^e_m
+    W^e_m    = (V^e_m - q^e_m) / D_m
+    pre^e_m  = f^e_{m-1} + W^e_{m-1} zp_{m-1}
+    f^e_m    = ec_m o pre^e_m
+    zp_m     = y_m - sum_e U^e_m . f^e_m
+    ll      += -1/2 (log D_m + zp_m^2 / D_m)
+
+The augmented forward stores per step: W^e, pre^e, D, zp, plus a T
+checkpoint every KC steps. The backward sweeps time in reverse; within
+each KC-chunk it first re-runs the T recursion from the checkpoint
+(T_start is stored directly, so no cross-chunk row is ever needed),
+then applies the exact reverse of every forward statement. Cotangents
+that reference step-(m-1) values are *deferred*: the carry holds
+Mbar = cotangent of T_{m+1} and cpre = cotangent of pre_{m+1}, both of
+which are consumed at step m where W_m, D_m, zp_m are the current row.
+
+Padded coefficient rows (J alignment) and padded lanes (B alignment)
+provably carry exactly-zero adjoints by induction (U = 0 on padded rows
+kills every seed), so host-side slicing of the outputs is exact.
+
+Non-PD chains: the forward emits ll = -inf; their incoming cotangent is
+zeroed in the wrapper, so this path returns ZERO gradients there (the
+scan VJP returns NaN; samplers mask non-finite gradients either way).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .pallas_celerite import _pad_axis
+
+__all__ = ["fwd_aug_pallas", "bwd_pallas", "value_and_grad_tables"]
+
+_LOG2PI = math.log(2.0 * math.pi)
+
+
+# ---------------------------------------------------------------------------
+# augmented forward
+# ---------------------------------------------------------------------------
+
+def _fwd_aug_kernel(n_steps, chunk, kc,
+                    a_ref, b_ref, c_ref, d_ref, t_ref, dt_ref, y_ref, s2_ref,
+                    suma_ref,
+                    out_ref, w0_ref, w1_ref, p0_ref, p1_ref, dD_ref, zp_ref,
+                    tcp_ref,
+                    S, fW, acc):
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    i_n = pl.program_id(1)
+    num_n = pl.num_programs(1)
+
+    @pl.when(i_n == 0)
+    def _init():
+        S[...] = jnp.zeros_like(S)
+        fW[...] = jnp.zeros_like(fW)
+        acc[...] = jnp.zeros_like(acc)
+        acc[4, :] = jnp.full_like(acc[4, :], jnp.inf)
+
+    av = a_ref[...]
+    bv = b_ref[...]
+    cv = c_ref[...]
+    dv = d_ref[...]
+    suma = suma_ref[0, :]
+
+    def step(k, _):
+        g = i_n * chunk + k
+        live = (g < n_steps).astype(suma.dtype)
+        tn = t_ref[i_n, k]
+        dtn = dt_ref[i_n, k]
+        yn = y_ref[k, :]
+        s2n = s2_ref[k, :]
+
+        co = jnp.cos(dv * tn)
+        si = jnp.sin(dv * tn)
+        U0 = av * co + bv * si
+        U1 = av * si - bv * co
+        ec = jnp.exp(cv * (-dtn))
+
+        f0, f1, W0p, W1p = fW[0], fW[1], fW[2], fW[3]
+        D_prev = acc[0, :]
+        zp_prev = acc[1, :]
+
+        ee = ec[:, None, :] * ec[None, :, :]
+        Wd0 = W0p * D_prev[None, :]
+        Wd1 = W1p * D_prev[None, :]
+        T00 = S[0] + Wd0[:, None, :] * W0p[None, :, :]
+        T01 = S[1] + Wd0[:, None, :] * W1p[None, :, :]
+        T11 = S[2] + Wd1[:, None, :] * W1p[None, :, :]
+
+        @pl.when(k % kc == 0)
+        def _ckpt():
+            tcp_ref[k // kc, 0] = T00
+            tcp_ref[k // kc, 1] = T01
+            tcp_ref[k // kc, 2] = T11
+
+        S00 = ee * T00
+        S01 = ee * T01
+        S11 = ee * T11
+        SU0 = jnp.sum(S00 * U0[None, :, :], axis=1) + jnp.sum(
+            S01 * U1[None, :, :], axis=1
+        )
+        SU1 = jnp.sum(S01 * U0[:, None, :], axis=0) + jnp.sum(
+            S11 * U1[None, :, :], axis=1
+        )
+        Dn = suma + s2n - jnp.sum(U0 * SU0, axis=0) - jnp.sum(U1 * SU1, axis=0)
+        W0n = (co - SU0) / Dn[None, :]
+        W1n = (si - SU1) / Dn[None, :]
+
+        pre0 = f0 + W0p * zp_prev[None, :]
+        pre1 = f1 + W1p * zp_prev[None, :]
+        f0n = ec * pre0
+        f1n = ec * pre1
+        zpn = yn - jnp.sum(U0 * f0n, axis=0) - jnp.sum(U1 * f1n, axis=0)
+
+        w0_ref[k] = W0n
+        w1_ref[k] = W1n
+        p0_ref[k] = pre0
+        p1_ref[k] = pre1
+        dD_ref[k, :] = Dn
+        zp_ref[k, :] = zpn
+
+        S[0] = S00
+        S[1] = S01
+        S[2] = S11
+        fW[0], fW[1], fW[2], fW[3] = f0n, f1n, W0n, W1n
+        acc[0, :] = Dn
+        acc[1, :] = zpn
+        acc[2, :] = acc[2, :] + live * jnp.log(jnp.abs(Dn))
+        acc[3, :] = acc[3, :] + live * (zpn * zpn) / Dn
+        acc[4, :] = jnp.minimum(acc[4, :], jnp.where(g < n_steps, Dn, jnp.inf))
+        return 0
+
+    jax.lax.fori_loop(0, chunk, step, 0)
+
+    @pl.when(i_n == num_n - 1)
+    def _finish():
+        ll = -0.5 * (acc[2, :] + acc[3, :] + n_steps * _LOG2PI)
+        ok = (acc[4, :] > 0) & jnp.isfinite(ll)
+        out_ref[0, :] = jnp.where(ok, ll, -jnp.inf)
+
+
+def _prep(a, b, c, d, t, y, sigma2, block_b, chunk):
+    """Shared padding/layout for the fwd-aug and bwd wrappers."""
+    B, J = a.shape
+    N = t.shape[0]
+    J8 = -(-J // 8) * 8
+    a = _pad_axis(a, J8, 1)
+    b = _pad_axis(b, J8, 1)
+    c = _pad_axis(c, J8, 1)
+    d = _pad_axis(d, J8, 1)
+    Bp = -(-B // block_b) * block_b
+    a, b, c, d = (_pad_axis(x, Bp, 0) for x in (a, b, c, d))
+    y = _pad_axis(y, Bp, 0)
+    sigma2 = _pad_axis(sigma2, Bp, 0, fill=1.0)
+    Np = -(-N // chunk) * chunk
+    Nc = Np // chunk
+    t_pad = jnp.pad(t, (0, Np - N), mode="edge") if Np > N else t
+    dt = jnp.concatenate([jnp.zeros((1,), t.dtype), jnp.diff(t_pad)])
+    tsm = t_pad.reshape(Nc, chunk)
+    dtsm = dt.reshape(Nc, chunk)
+    yT = _pad_axis(y.T, Np, 0)
+    s2T = _pad_axis(sigma2.T, Np, 0, fill=1.0)
+    suma = jnp.sum(a, axis=1)[None, :]
+    return (a.T, b.T, c.T, d.T, tsm, dtsm, yT, s2T, suma,
+            B, J, N, J8, Bp, Np, Nc)
+
+
+def fwd_aug_pallas(a, b, c, d, t, y, sigma2,
+                   *, block_b: int = 128, chunk: int = 64, kc: int = 8,
+                   interpret: bool = False):
+    """Fused forward that also emits the backward's residual tables.
+
+    Returns (ll (B,), residuals) where residuals are in padded layout
+    ready for :func:`bwd_pallas`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert chunk % kc == 0
+    (aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma,
+     B, J, N, J8, Bp, Np, Nc) = _prep(a, b, c, d, t, y, sigma2, block_b, chunk)
+    dtype = t.dtype
+    Ncp = Np // kc
+
+    grid = (Bp // block_b, Nc)
+    coef_spec = pl.BlockSpec((J8, block_b), lambda ib, iN: (0, ib))
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    row_spec = pl.BlockSpec((chunk, block_b), lambda ib, iN: (iN, ib))
+    tabJ_spec = pl.BlockSpec((chunk, J8, block_b), lambda ib, iN: (iN, 0, ib))
+    tcp_spec = pl.BlockSpec(
+        (chunk // kc, 3, J8, J8, block_b), lambda ib, iN: (iN, 0, 0, 0, ib)
+    )
+
+    kern = functools.partial(_fwd_aug_kernel, N, chunk, kc)
+    try:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        )
+    except Exception:
+        compiler_params = None
+
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[coef_spec] * 4 + [smem_spec, smem_spec, row_spec, row_spec,
+                                    pl.BlockSpec((1, block_b), lambda ib, iN: (0, ib))],
+        out_specs=[
+            pl.BlockSpec((1, block_b), lambda ib, iN: (0, ib)),
+            tabJ_spec, tabJ_spec, tabJ_spec, tabJ_spec,
+            row_spec, row_spec, tcp_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Bp), dtype),
+            jax.ShapeDtypeStruct((Np, J8, Bp), dtype),
+            jax.ShapeDtypeStruct((Np, J8, Bp), dtype),
+            jax.ShapeDtypeStruct((Np, J8, Bp), dtype),
+            jax.ShapeDtypeStruct((Np, J8, Bp), dtype),
+            jax.ShapeDtypeStruct((Np, Bp), dtype),
+            jax.ShapeDtypeStruct((Np, Bp), dtype),
+            jax.ShapeDtypeStruct((Ncp, 3, J8, J8, Bp), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, J8, J8, block_b), dtype),
+            pltpu.VMEM((4, J8, block_b), dtype),
+            pltpu.VMEM((8, block_b), dtype),
+        ],
+        interpret=interpret,
+        **({"compiler_params": compiler_params} if compiler_params else {}),
+    )(aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma)
+    ll, W0t, W1t, P0t, P1t, Dt, ZPt, Tcp = outs
+    residuals = (W0t, W1t, P0t, P1t, Dt, ZPt, Tcp)
+    return ll[0, :B], residuals
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(n_steps, kc,
+                a_ref, b_ref, c_ref, d_ref, t_ref, dt_ref, suma_ref, g_ref,
+                w0_ref, w1_ref, p0_ref, p1_ref, dD_ref, zp_ref, tcp_ref,
+                ab_ref, bb_ref, cb_ref, db_ref, yb_ref, s2b_ref,
+                tb_ref, dtb_ref,
+                Tst, Mb, cpre, coef, acc):
+    """One (batch-block, reverse-KC-chunk) grid step of the adjoint.
+
+    Scratch: Tst (KC, 3, J, J, B) recomputed T blocks for this chunk;
+    Mb (3, J, J, B) carried cotangent of T_{m+1}; cpre (2, J, B) carried
+    cotangent of pre_{m+1}; coef (4, J, B) accumulated [abar, bbar,
+    cbar, dbar]; acc (8, B) rows [sumabar, ...spare].
+    """
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    i_r = pl.program_id(1)            # 0 .. Np/kc - 1, reverse order
+    num_r = pl.num_programs(1)
+    base = (num_r - 1 - i_r) * kc     # global index of this chunk's step 0
+    chunk_idx = base // kc            # time index of this chunk (SMEM tables)
+
+    @pl.when(i_r == 0)
+    def _init():
+        Mb[...] = jnp.zeros_like(Mb)
+        cpre[...] = jnp.zeros_like(cpre)
+        coef[...] = jnp.zeros_like(coef)
+        acc[...] = jnp.zeros_like(acc)
+
+    av = a_ref[...]
+    bv = b_ref[...]
+    cv = c_ref[...]
+    dv = d_ref[...]
+    suma = suma_ref[0, :]
+    gl = g_ref[0, :]
+
+    # ---- phase 1: recompute T_m for m in [base, base+kc) from checkpoint
+    def fwd_step(k, _):
+        @pl.when(k == 0)
+        def _first():
+            Tst[0, 0] = tcp_ref[0, 0]
+            Tst[0, 1] = tcp_ref[0, 1]
+            Tst[0, 2] = tcp_ref[0, 2]
+
+        @pl.when(k > 0)
+        def _rest():
+            km1 = k - 1
+            dtn = dt_ref[chunk_idx, km1]
+            ec = jnp.exp(cv * (-dtn))
+            ee = ec[:, None, :] * ec[None, :, :]
+            S00 = ee * Tst[km1, 0]
+            S01 = ee * Tst[km1, 1]
+            S11 = ee * Tst[km1, 2]
+            W0 = w0_ref[km1]
+            W1 = w1_ref[km1]
+            Dm = dD_ref[km1, :]
+            Wd0 = W0 * Dm[None, :]
+            Wd1 = W1 * Dm[None, :]
+            Tst[k, 0] = S00 + Wd0[:, None, :] * W0[None, :, :]
+            Tst[k, 1] = S01 + Wd0[:, None, :] * W1[None, :, :]
+            Tst[k, 2] = S11 + Wd1[:, None, :] * W1[None, :, :]
+        return 0
+
+    lax.fori_loop(0, kc, fwd_step, 0)
+
+    # ---- phase 2: reverse sweep k = kc-1 .. 0
+    def rev_step(j, _):
+        k = kc - 1 - j
+        g = base + k
+        live = (g < n_steps).astype(suma.dtype)
+        tn = t_ref[chunk_idx, k]
+        dtn = dt_ref[chunk_idx, k]
+
+        co = jnp.cos(dv * tn)
+        si = jnp.sin(dv * tn)
+        U0 = av * co + bv * si
+        U1 = av * si - bv * co
+        ec = jnp.exp(cv * (-dtn))
+        ee = ec[:, None, :] * ec[None, :, :]
+
+        W0 = w0_ref[k]
+        W1 = w1_ref[k]
+        pre0 = p0_ref[k]
+        pre1 = p1_ref[k]
+        Dm = dD_ref[k, :]
+        zpm = zp_ref[k, :]
+        T00 = Tst[k, 0]
+        T01 = Tst[k, 1]
+        T11 = Tst[k, 2]
+        q0 = co - W0 * Dm[None, :]
+        q1 = si - W1 * Dm[None, :]
+        f0m = ec * pre0
+        f1m = ec * pre1
+
+        M00 = Mb[0]
+        M01 = Mb[1]
+        M11 = Mb[2]
+        cp0 = cpre[0]
+        cp1 = cpre[1]
+
+        # T_{m+1} = S_m + D_m W_m W_m^T consumption
+        M00W0 = jnp.sum(M00 * W0[None, :, :], axis=1)   # M00 @ W0
+        M00tW0 = jnp.sum(M00 * W0[:, None, :], axis=0)  # M00^T @ W0
+        M01W1 = jnp.sum(M01 * W1[None, :, :], axis=1)
+        M01tW0 = jnp.sum(M01 * W0[:, None, :], axis=0)
+        M11W1 = jnp.sum(M11 * W1[None, :, :], axis=1)
+        M11tW1 = jnp.sum(M11 * W1[:, None, :], axis=0)
+        Dbar = (
+            jnp.sum(W0 * (M00W0 + M01W1), axis=0)
+            + jnp.sum(W1 * M11W1, axis=0)
+        )
+        W0bar = (M00W0 + M00tW0 + M01W1) * Dm[None, :]
+        W1bar = (M11W1 + M11tW1 + M01tW0) * Dm[None, :]
+
+        # pre_{m+1} = f_m + W_m zp_m consumption
+        f0bar = cp0
+        f1bar = cp1
+        W0bar = W0bar + cp0 * zpm[None, :]
+        W1bar = W1bar + cp1 * zpm[None, :]
+        zpbar = jnp.sum(cp0 * W0, axis=0) + jnp.sum(cp1 * W1, axis=0)
+
+        # loss seeds (scaled by the incoming cotangent g_b)
+        Dbar = Dbar - 0.5 * live * gl * (1.0 / Dm - (zpm * zpm) / (Dm * Dm))
+        zpbar = zpbar - live * gl * zpm / Dm
+
+        # zp = y - U0.f0 - U1.f1
+        ybar = zpbar
+        U0bar = -zpbar[None, :] * f0m
+        U1bar = -zpbar[None, :] * f1m
+        f0bar = f0bar - zpbar[None, :] * U0
+        f1bar = f1bar - zpbar[None, :] * U1
+
+        # f = ec o pre
+        ecbar = f0bar * pre0 + f1bar * pre1
+        cpre[0] = ec * f0bar
+        cpre[1] = ec * f1bar
+
+        # W = (V - q) / D
+        cobar = W0bar / Dm[None, :]
+        sibar = W1bar / Dm[None, :]
+        q0bar = -W0bar / Dm[None, :]
+        q1bar = -W1bar / Dm[None, :]
+        Dbar = Dbar - (
+            jnp.sum(W0bar * W0, axis=0) + jnp.sum(W1bar * W1, axis=0)
+        ) / Dm
+
+        # D = suma + s2 - U0.q0 - U1.q1
+        s2bar = Dbar
+        acc[0, :] = acc[0, :] + Dbar
+        U0bar = U0bar - Dbar[None, :] * q0
+        U1bar = U1bar - Dbar[None, :] * q1
+        q0bar = q0bar - Dbar[None, :] * U0
+        q1bar = q1bar - Dbar[None, :] * U1
+
+        # q0 = S00 U0 + S01 U1 ; q1 = S01^T U0 + S11 U1
+        S00 = ee * T00
+        S01 = ee * T01
+        S11 = ee * T11
+        Sb00 = M00 + q0bar[:, None, :] * U0[None, :, :]
+        Sb01 = M01 + q0bar[:, None, :] * U1[None, :, :] \
+                   + U0[:, None, :] * q1bar[None, :, :]
+        Sb11 = M11 + q1bar[:, None, :] * U1[None, :, :]
+        U0bar = U0bar + jnp.sum(S00 * q0bar[:, None, :], axis=0) \
+                      + jnp.sum(S01 * q1bar[None, :, :], axis=1)
+        U1bar = U1bar + jnp.sum(S01 * q0bar[:, None, :], axis=0) \
+                      + jnp.sum(S11 * q1bar[:, None, :], axis=0)
+
+        # S = ee o T : ec cotangent and carry-out Mbar = ee o Sbar
+        A00 = Sb00 * T00
+        A01 = Sb01 * T01
+        A11 = Sb11 * T11
+        ecbar = ecbar + (
+            jnp.sum(A00 * ec[None, :, :], axis=1)
+            + jnp.sum(A00 * ec[:, None, :], axis=0)
+            + jnp.sum(A01 * ec[None, :, :], axis=1)
+            + jnp.sum(A01 * ec[:, None, :], axis=0)
+            + jnp.sum(A11 * ec[None, :, :], axis=1)
+            + jnp.sum(A11 * ec[:, None, :], axis=0)
+        )
+        Mb[0] = ee * Sb00
+        Mb[1] = ee * Sb01
+        Mb[2] = ee * Sb11
+
+        # coefficient chain rule
+        # U0 = a co + b si ; U1 = a si - b co ; V0 = co ; V1 = si
+        coef[0] = coef[0] + U0bar * co + U1bar * si
+        coef[1] = coef[1] + U0bar * si - U1bar * co
+        cobar = cobar + U0bar * av - U1bar * bv
+        sibar = sibar + U0bar * bv + U1bar * av
+        # co = cos(d t), si = sin(d t) ; ec = exp(-c dt)
+        dchain = -cobar * si + sibar * co
+        coef[3] = coef[3] + tn * dchain
+        coef[2] = coef[2] - dtn * ecbar * ec
+
+        # per-step outputs
+        yb_ref[k, :] = ybar
+        s2b_ref[k, :] = s2bar
+        tb_ref[k, :] = jnp.sum(dv * dchain, axis=0)
+        dtb_ref[k, :] = -jnp.sum(cv * ecbar * ec, axis=0)
+        return 0
+
+    lax.fori_loop(0, kc, rev_step, 0)
+
+    @pl.when(i_r == num_r - 1)
+    def _finish():
+        # suma = sum_j a_j feeds D at every step
+        ab_ref[...] = coef[0] + acc[0, :][None, :]
+        bb_ref[...] = coef[1]
+        cb_ref[...] = coef[2]
+        db_ref[...] = coef[3]
+
+
+def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g,
+               *, block_b: int = 128, chunk: int = 64, kc: int = 8,
+               interpret: bool = False):
+    """Adjoint of the batched likelihood: returns cotangents for
+    (a, b, c, d, t, y, sigma2) given per-chain output cotangents ``g``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    (aT, bT, cT, dT, tsm, dtsm, _yT, _s2T, suma,
+     B, J, N, J8, Bp, Np, Nc) = _prep(a, b, c, d, t, y, sigma2, block_b, chunk)
+    dtype = t.dtype
+    W0t, W1t, P0t, P1t, Dt, ZPt, Tcp = residuals
+    gp = _pad_axis(jnp.asarray(g, dtype)[None, :], Bp, 1)
+
+    num_r = Np // kc
+    # the backward walks time in kc-sized chunks: re-tile the SMEM
+    # t/dt tables so row chunk_idx == base // kc
+    tsm = tsm.reshape(num_r, kc)
+    dtsm = dtsm.reshape(num_r, kc)
+    grid = (Bp // block_b, num_r)
+
+    def rev(i):  # reverse chunk order
+        return num_r - 1 - i
+
+    coef_spec = pl.BlockSpec((J8, block_b), lambda ib, iR: (0, ib))
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    lane_spec = pl.BlockSpec((1, block_b), lambda ib, iR: (0, ib))
+    rowk_spec = pl.BlockSpec((kc, block_b), lambda ib, iR: (rev(iR), ib))
+    tabk_spec = pl.BlockSpec((kc, J8, block_b), lambda ib, iR: (rev(iR), 0, ib))
+    tcp_spec = pl.BlockSpec(
+        (1, 3, J8, J8, block_b), lambda ib, iR: (rev(iR), 0, 0, 0, ib)
+    )
+    coefout_spec = pl.BlockSpec((J8, block_b), lambda ib, iR: (0, ib))
+
+    kern = functools.partial(_bwd_kernel, N, kc)
+    try:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        )
+    except Exception:
+        compiler_params = None
+
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[coef_spec] * 4 + [smem_spec, smem_spec, lane_spec, lane_spec,
+                                    tabk_spec, tabk_spec, tabk_spec, tabk_spec,
+                                    rowk_spec, rowk_spec, tcp_spec],
+        out_specs=[coefout_spec] * 4 + [rowk_spec, rowk_spec,
+                                        rowk_spec, rowk_spec],
+        out_shape=[jax.ShapeDtypeStruct((J8, Bp), dtype)] * 4
+        + [jax.ShapeDtypeStruct((Np, Bp), dtype)] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((kc, 3, J8, J8, block_b), dtype),
+            pltpu.VMEM((3, J8, J8, block_b), dtype),
+            pltpu.VMEM((2, J8, block_b), dtype),
+            pltpu.VMEM((4, J8, block_b), dtype),
+            pltpu.VMEM((8, block_b), dtype),
+        ],
+        interpret=interpret,
+        **({"compiler_params": compiler_params} if compiler_params else {}),
+    )(aT, bT, cT, dT, tsm, dtsm, suma, gp,
+      W0t, W1t, P0t, P1t, Dt, ZPt, Tcp)
+    abar, bbar, cbar, dbar, ybar, s2bar, tbp, dtbp = outs
+
+    # un-pad and fold the shared-time partials across lanes:
+    # t appears via co/si at step m and via dt_m = t_m - t_{m-1},
+    # dt_{m+1} = t_{m+1} - t_m  =>  tbar_m += dtbar_m - dtbar_{m+1}
+    abar = abar.T[:B, :J]
+    bbar = bbar.T[:B, :J]
+    cbar = cbar.T[:B, :J]
+    dbar = dbar.T[:B, :J]
+    ybar = ybar.T[:B, :N]
+    s2bar = s2bar.T[:B, :N]
+    tb = jnp.sum(tbp[:N], axis=1)
+    dtb = jnp.sum(dtbp, axis=1)
+    dtb = dtb.at[N:].set(0.0)
+    dtb = jnp.concatenate([dtb, jnp.zeros((1,), dtype)])  # guard m = N-1
+    tbar = tb + dtb[:N] - dtb[1:N + 1]
+    return abar, bbar, cbar, dbar, tbar, ybar, s2bar
+
+
+def value_and_grad_tables(a, b, c, d, t, y, sigma2, **kw):
+    """Convenience: ll and full gradients through the Pallas adjoint."""
+    ll, res = fwd_aug_pallas(a, b, c, d, t, y, sigma2, **kw)
+    g = jnp.where(jnp.isfinite(ll), jnp.ones_like(ll), jnp.zeros_like(ll))
+    grads = bwd_pallas(a, b, c, d, t, y, sigma2, res, g, **kw)
+    return ll, grads

@@ -145,10 +145,16 @@ def run_chees(
         v_new = inv_mass[None, :] * r_new   # final velocity
         proj = jnp.sum((z_new - zbar_new) * v_new, axis=1)
         per_chain = (dsq_new - dsq_old) * proj
-        w = accept_prob
+        # divergent trajectories produce non-finite z_new/proj; they must
+        # not poison the trajectory-length adaptation (a single NaN here
+        # turns log_tau NaN and freezes every chain: n_steps -> 0)
+        finite = jnp.isfinite(per_chain)
+        per_chain = jnp.where(finite, per_chain, 0.0)
+        w = jnp.where(finite, accept_prob, 0.0)
         chees_grad = h * jnp.sum(w * per_chain) / jnp.maximum(jnp.sum(w), 1e-10)
         # normalize scale, gradient ASCENT on log tau
         chees_grad = chees_grad / (jnp.exp(2.0 * log_tau) + 1e-10)
+        chees_grad = jnp.where(jnp.isfinite(chees_grad), chees_grad, 0.0)
         adam, delta = _adam_update(adam, -chees_grad)
         log_tau_new = log_tau - delta
         # keep trajectories under the leapfrog cap

@@ -129,3 +129,41 @@ def test_advi_is_jittable_and_vmappable():
     out = jax.vmap(fit)(z0s, keys)
     assert out.samples.shape == (3, 8, 2)
     assert np.all(np.isfinite(np.asarray(out.elbo_trace)))
+
+
+def test_chees_correlated_gaussian():
+    """ChEES-HMC recovers a correlated Gaussian (regression guard for the
+    trajectory-length adaptation: a divergence-poisoned ChEES gradient
+    once froze every chain via NaN log_tau -> n_steps = 0)."""
+    from pioran_tpu.samplers.chees import run_chees
+
+    cov = jnp.array([[2.0, 1.2, 0.3], [1.2, 1.5, 0.5], [0.3, 0.5, 1.0]])
+    prec = jnp.linalg.inv(cov)
+    logp = lambda z: -0.5 * z @ prec @ z
+    C = 64
+    z0 = jax.random.normal(jax.random.PRNGKey(1), (C, 3))
+    samples, stats = run_chees(
+        logp, z0, jax.random.PRNGKey(0), num_warmup=400, num_samples=400,
+        max_leapfrogs=64,
+    )
+    s = np.asarray(samples).reshape(-1, 3)
+    # chains actually move every iteration
+    assert np.asarray(stats["n_leapfrogs"]).min() >= 1
+    np.testing.assert_allclose(s.mean(0), 0.0, atol=0.15)
+    np.testing.assert_allclose(np.cov(s.T), np.asarray(cov), atol=0.3)
+
+
+def test_chees_batched_logp_matches_vmapped():
+    """logp_batch_fn path is the same markov chain as the vmapped path."""
+    from pioran_tpu.samplers.chees import run_chees
+
+    logp = lambda z: -0.5 * jnp.sum(z**2)
+    logp_batch = lambda Z: -0.5 * jnp.sum(Z**2, axis=-1)
+    z0 = jax.random.normal(jax.random.PRNGKey(2), (8, 2))
+    s1, _ = run_chees(logp, z0, jax.random.PRNGKey(3), num_warmup=50,
+                      num_samples=50, max_leapfrogs=32)
+    s2, _ = run_chees(logp, z0, jax.random.PRNGKey(3), num_warmup=50,
+                      num_samples=50, max_leapfrogs=32,
+                      logp_batch_fn=logp_batch)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5,
+                               atol=1e-6)
