@@ -105,6 +105,28 @@ def main():
                 vf = jax.jit(jax.vmap(lambda aa: logl(aa, b, c, d, t, y, s2)))
                 dtb = timeit(vf, A)
                 cell["vmap_evals_per_s"] = round(B / dtb, 1)
+                # Pallas fused forward + hand-derived adjoint (TPU only)
+                if jax.default_backend() == "tpu":
+                    from pioran_tpu.ops.pallas_celerite import (
+                        batched_loglike_pallas_fused,
+                    )
+                    from pioran_tpu.ops.pallas_celerite_vjp import (
+                        value_and_grad_tables,
+                    )
+
+                    Bc = jnp.tile(b, (B, 1))
+                    Cc = jnp.tile(c, (B, 1))
+                    Dc = jnp.tile(d, (B, 1))
+                    Y = jnp.tile(y, (B, 1))
+                    S2 = jnp.tile(s2, (B, 1))
+                    pf = jax.jit(lambda A: batched_loglike_pallas_fused(
+                        A, Bc, Cc, Dc, t, Y, S2))
+                    dtp = timeit(pf, A)
+                    cell["pallas_evals_per_s"] = round(B / dtp, 1)
+                    gf = jax.jit(lambda A: value_and_grad_tables(
+                        A, Bc, Cc, Dc, t, Y, S2))
+                    dtg = timeit(gf, A)
+                    cell["pallas_grad_evals_per_s"] = round(B / dtg, 1)
             rows.append(cell)
             print(f"N={N:6d} J={J:2d}: " + "  ".join(
                 f"{k}={cell[k]}" for k in cell if k.endswith("_ms")

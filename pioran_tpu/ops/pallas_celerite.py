@@ -44,7 +44,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["batched_loglike", "batched_loglike_pallas",
-           "batched_loglike_pallas_fused", "build_tables"]
+           "batched_loglike_pallas_fused", "batched_loglike_pallas_multi",
+           "build_tables"]
 
 _LOG2PI = math.log(2.0 * math.pi)
 
@@ -231,8 +232,9 @@ def batched_loglike_pallas(
     return out[0, :B]
 
 
-def _fused_kernel(n_steps, chunk, a_ref, b_ref, c_ref, d_ref, t_ref, dt_ref,
-                  y_ref, s2_ref, suma_ref, out_ref, S, fW, acc):
+def _fused_kernel(n_steps, chunk, per_lane_t,
+                  a_ref, b_ref, c_ref, d_ref, t_ref, dt_ref,
+                  y_ref, s2_ref, suma_ref, nv_ref, out_ref, S, fW, acc):
     """Fused variant: U/V/phi computed in-kernel from the (J, Bblk)
     coefficients — no O(N R B) tables ever touch HBM.
 
@@ -264,12 +266,17 @@ def _fused_kernel(n_steps, chunk, a_ref, b_ref, c_ref, d_ref, t_ref, dt_ref,
     cv = c_ref[...]
     dv = d_ref[...]
     suma = suma_ref[0, :]
+    nvalid = nv_ref[0, :]  # per-lane valid length (ragged datasets)
 
     def step(k, _):
         g = i_n * chunk + k
-        live = (g < n_steps).astype(suma.dtype)
-        tn = t_ref[i_n, k]
-        dtn = dt_ref[i_n, k]
+        live = (g < nvalid).astype(suma.dtype)  # (Bblk,) padding mask
+        if per_lane_t:
+            tn = t_ref[k, :]    # (Bblk,) — per-dataset time grids
+            dtn = dt_ref[k, :]
+        else:
+            tn = t_ref[i_n, k]  # scalar from SMEM — shared time grid
+            dtn = dt_ref[i_n, k]
         yn = y_ref[k, :]
         s2n = s2_ref[k, :]
 
@@ -317,14 +324,14 @@ def _fused_kernel(n_steps, chunk, a_ref, b_ref, c_ref, d_ref, t_ref, dt_ref,
         acc[1, :] = zpn
         acc[2, :] = acc[2, :] + live * jnp.log(jnp.abs(Dn))
         acc[3, :] = acc[3, :] + live * (zpn * zpn) / Dn
-        acc[4, :] = jnp.minimum(acc[4, :], jnp.where(g < n_steps, Dn, jnp.inf))
+        acc[4, :] = jnp.minimum(acc[4, :], jnp.where(g < nvalid, Dn, jnp.inf))
         return 0
 
     lax.fori_loop(0, chunk, step, 0)
 
     @pl.when(i_n == num_n - 1)
     def _finish():
-        ll = -0.5 * (acc[2, :] + acc[3, :] + n_steps * _LOG2PI)
+        ll = -0.5 * (acc[2, :] + acc[3, :] + nvalid * _LOG2PI)
         ok = (acc[4, :] > 0) & jnp.isfinite(ll)
         out_ref[0, :] = jnp.where(ok, ll, -jnp.inf)
 
@@ -376,7 +383,10 @@ def batched_loglike_pallas_fused(
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     row_spec = pl.BlockSpec((chunk, block_b), lambda ib, iN: (iN, ib))
 
-    kern = functools.partial(_fused_kernel, N, chunk)
+    nv = jnp.full((1, Bp), N, dtype)
+    lane_spec = pl.BlockSpec((1, block_b), lambda ib, iN: (0, ib))
+
+    kern = functools.partial(_fused_kernel, N, chunk, False)
     try:
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -390,7 +400,7 @@ def batched_loglike_pallas_fused(
         in_specs=[
             coef_spec, coef_spec, coef_spec, coef_spec,
             smem_spec, smem_spec, row_spec, row_spec,
-            pl.BlockSpec((1, block_b), lambda ib, iN: (0, ib)),
+            lane_spec, lane_spec,
         ],
         out_specs=pl.BlockSpec((1, block_b), lambda ib, iN: (0, ib)),
         out_shape=jax.ShapeDtypeStruct((1, Bp), dtype),
@@ -401,7 +411,92 @@ def batched_loglike_pallas_fused(
         ],
         interpret=interpret,
         **({"compiler_params": compiler_params} if compiler_params else {}),
-    )(aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma)
+    )(aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma, nv)
+    return out[0, :B]
+
+
+def batched_loglike_pallas_multi(
+    a, b, c, d, t, y, sigma2, n_valid=None,
+    *, block_b: int = 128, chunk: int = 128, interpret: bool = False,
+):
+    """Fused batched likelihood with PER-CHAIN time grids — the data-
+    parallel "many independent light curves" axis (SURVEY §2.6; the
+    reference processes one series per script run,
+    reference examples/ultranest/single_pl.jl:35).
+
+    a..d: (B, J); t, y, sigma2: (B, N) per-chain (sorted t rows);
+    ``n_valid``: optional (B,) int valid lengths for ragged batches
+    (rows beyond n_valid[i] are ignored; pad t with its last value,
+    y/sigma2 arbitrarily). Returns (B,) log-likelihoods. Stack
+    (dataset, chain) axes into B to run many-chains x many-curves.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, J = a.shape
+    N = t.shape[-1]
+    dtype = y.dtype
+
+    J = -(-J // 8) * 8
+    a = _pad_axis(a, J, 1)
+    b = _pad_axis(b, J, 1)
+    c = _pad_axis(c, J, 1)
+    d = _pad_axis(d, J, 1)
+
+    Bp = -(-B // block_b) * block_b
+    a, b, c, d = (_pad_axis(x, Bp, 0) for x in (a, b, c, d))
+    t = _pad_axis(t, Bp, 0)
+    y = _pad_axis(y, Bp, 0)
+    sigma2 = _pad_axis(sigma2, Bp, 0, fill=1.0)
+    if n_valid is None:
+        nv = jnp.full((1, Bp), N, dtype)
+    else:
+        nv = _pad_axis(jnp.asarray(n_valid, dtype)[None, :], Bp, 1)
+
+    Np = -(-N // chunk) * chunk
+    Nc = Np // chunk
+    tp = jnp.pad(t, ((0, 0), (0, Np - N)), mode="edge") if Np > N else t
+    dt = jnp.concatenate(
+        [jnp.zeros((Bp, 1), dtype), jnp.diff(tp, axis=1)], axis=1
+    )
+    tT = tp.T  # (Np, Bp)
+    dtT = dt.T
+    yT = _pad_axis(y.T, Np, 0)
+    s2T = _pad_axis(sigma2.T, Np, 0, fill=1.0)
+    suma = jnp.sum(a, axis=1)[None, :]
+    aT, bT, cT, dT = a.T, b.T, c.T, d.T
+
+    grid = (Bp // block_b, Nc)
+    coef_spec = pl.BlockSpec((J, block_b), lambda ib, iN: (0, ib))
+    row_spec = pl.BlockSpec((chunk, block_b), lambda ib, iN: (iN, ib))
+    lane_spec = pl.BlockSpec((1, block_b), lambda ib, iN: (0, ib))
+
+    kern = functools.partial(_fused_kernel, N, chunk, True)
+    try:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        )
+    except Exception:
+        compiler_params = None
+
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            coef_spec, coef_spec, coef_spec, coef_spec,
+            row_spec, row_spec, row_spec, row_spec,
+            lane_spec, lane_spec,
+        ],
+        out_specs=pl.BlockSpec((1, block_b), lambda ib, iN: (0, ib)),
+        out_shape=jax.ShapeDtypeStruct((1, Bp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((3, J, J, block_b), dtype),
+            pltpu.VMEM((4, J, block_b), dtype),
+            pltpu.VMEM((8, block_b), dtype),
+        ],
+        interpret=interpret,
+        **({"compiler_params": compiler_params} if compiler_params else {}),
+    )(aT, bT, cT, dT, tT, dtT, yT, s2T, suma, nv)
     return out[0, :B]
 
 
@@ -440,11 +535,12 @@ def _forward_impl(a, b, c, d, t, y, sigma2):
 
 
 def _fwd(a, b, c, d, t, y, sigma2):
-    if _on_tpu():
+    from .pallas_celerite_vjp import fits_vmem
+
+    if _on_tpu() and fits_vmem(a.shape[1]):
         from .pallas_celerite_vjp import fwd_aug_pallas
 
-        ll, tables = fwd_aug_pallas(a, b, c, d, t, y, sigma2,
-                                    chunk=16, kc=8)
+        ll, tables = fwd_aug_pallas(a, b, c, d, t, y, sigma2)
         return ll, (a, b, c, d, t, y, sigma2, ll, tables)
     return _scan_batched(a, b, c, d, t, y, sigma2), (
         a, b, c, d, t, y, sigma2, None, None)
@@ -458,8 +554,7 @@ def _bwd(res, g):
         # non-PD chains carry ll = -inf; zero their cotangent (the scan
         # VJP would emit NaN there — samplers mask non-finite either way)
         g = jnp.where(jnp.isfinite(ll), g, jnp.zeros_like(g))
-        return bwd_pallas(a, b, c, d, t, y, sigma2, tables, g,
-                          chunk=16, kc=8)
+        return bwd_pallas(a, b, c, d, t, y, sigma2, tables, g)
     _, vjp = jax.vjp(lambda *args: _scan_batched(*args), a, b, c, d, t, y, sigma2)
     return vjp(g)
 

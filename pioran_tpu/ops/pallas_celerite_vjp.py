@@ -52,7 +52,33 @@ import jax.numpy as jnp
 
 from .pallas_celerite import _pad_axis
 
-__all__ = ["fwd_aug_pallas", "bwd_pallas", "value_and_grad_tables"]
+__all__ = ["fwd_aug_pallas", "bwd_pallas", "value_and_grad_tables",
+           "auto_tiles", "fits_vmem"]
+
+
+def auto_tiles(J):
+    """(block_b, chunk, kc) sized so the backward fits VMEM.
+
+    The dominant buffers scale with 3 * J8^2 * block_b * 4 bytes per
+    stored T step (J8 = J rounded up to 8 sublanes): the backward keeps
+    kc of them, the Mbar carry, a double-buffered checkpoint block, and
+    several live (J8, J8, block_b) temporaries. Empirically J8 <= 24
+    fits at 128 lanes with kc = 8 (covers the reference's default
+    n_components = 20); beyond that gradients use the scan VJP.
+    """
+    J8 = -(-J // 8) * 8
+    if J8 <= 24:
+        return 128, 16, 8
+    # larger J: the kc T-store + Mbar + live temporaries exceed the
+    # 16 MB VMEM (lane blocks must stay multiples of 128, so narrowing
+    # the batch tile is not an option, and shrinking kc multiplies the
+    # checkpoint HBM). batched_loglike falls back to the scan VJP.
+    return None
+
+
+def fits_vmem(J, block_b=None) -> bool:
+    """False when no tiling fits VMEM (fall back to the scan VJP)."""
+    return auto_tiles(J) is not None
 
 _LOG2PI = math.log(2.0 * math.pi)
 
@@ -91,8 +117,8 @@ def _fwd_aug_kernel(n_steps, chunk, kc,
         live = (g < n_steps).astype(suma.dtype)
         tn = t_ref[i_n, k]
         dtn = dt_ref[i_n, k]
-        yn = y_ref[k, :]
-        s2n = s2_ref[k, :]
+        yn = y_ref[0, k, :]
+        s2n = s2_ref[0, k, :]
 
         co = jnp.cos(dv * tn)
         si = jnp.sin(dv * tn)
@@ -140,8 +166,8 @@ def _fwd_aug_kernel(n_steps, chunk, kc,
         w1_ref[k] = W1n
         p0_ref[k] = pre0
         p1_ref[k] = pre1
-        dD_ref[k, :] = Dn
-        zp_ref[k, :] = zpn
+        dD_ref[0, k, :] = Dn
+        zp_ref[0, k, :] = zpn
 
         S[0] = S00
         S[1] = S01
@@ -190,7 +216,7 @@ def _prep(a, b, c, d, t, y, sigma2, block_b, chunk):
 
 
 def fwd_aug_pallas(a, b, c, d, t, y, sigma2,
-                   *, block_b: int = 128, chunk: int = 64, kc: int = 8,
+                   *, block_b: int = None, chunk: int = None, kc: int = None,
                    interpret: bool = False):
     """Fused forward that also emits the backward's residual tables.
 
@@ -200,6 +226,11 @@ def fwd_aug_pallas(a, b, c, d, t, y, sigma2,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if kc is None or chunk is None or block_b is None:
+        ab, ac, ak = auto_tiles(a.shape[1])
+        block_b = block_b or ab
+        chunk = chunk or ac
+        kc = kc or ak
     assert chunk % kc == 0
     (aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma,
      B, J, N, J8, Bp, Np, Nc) = _prep(a, b, c, d, t, y, sigma2, block_b, chunk)
@@ -209,11 +240,15 @@ def fwd_aug_pallas(a, b, c, d, t, y, sigma2,
     grid = (Bp // block_b, Nc)
     coef_spec = pl.BlockSpec((J8, block_b), lambda ib, iN: (0, ib))
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    row_spec = pl.BlockSpec((chunk, block_b), lambda ib, iN: (iN, ib))
+    # per-step scalar rows travel as (Nc, chunk, Bp) with full-dim blocks
+    # so any chunk (even < 8 sublanes) satisfies the tiling rules
+    row_spec = pl.BlockSpec((1, chunk, block_b), lambda ib, iN: (iN, 0, ib))
     tabJ_spec = pl.BlockSpec((chunk, J8, block_b), lambda ib, iN: (iN, 0, ib))
     tcp_spec = pl.BlockSpec(
         (chunk // kc, 3, J8, J8, block_b), lambda ib, iN: (iN, 0, 0, 0, ib)
     )
+    yT = yT.reshape(Nc, chunk, Bp)
+    s2T = s2T.reshape(Nc, chunk, Bp)
 
     kern = functools.partial(_fwd_aug_kernel, N, chunk, kc)
     try:
@@ -239,8 +274,8 @@ def fwd_aug_pallas(a, b, c, d, t, y, sigma2,
             jax.ShapeDtypeStruct((Np, J8, Bp), dtype),
             jax.ShapeDtypeStruct((Np, J8, Bp), dtype),
             jax.ShapeDtypeStruct((Np, J8, Bp), dtype),
-            jax.ShapeDtypeStruct((Np, Bp), dtype),
-            jax.ShapeDtypeStruct((Np, Bp), dtype),
+            jax.ShapeDtypeStruct((Nc, chunk, Bp), dtype),
+            jax.ShapeDtypeStruct((Nc, chunk, Bp), dtype),
             jax.ShapeDtypeStruct((Ncp, 3, J8, J8, Bp), dtype),
         ],
         scratch_shapes=[
@@ -252,7 +287,8 @@ def fwd_aug_pallas(a, b, c, d, t, y, sigma2,
         **({"compiler_params": compiler_params} if compiler_params else {}),
     )(aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma)
     ll, W0t, W1t, P0t, P1t, Dt, ZPt, Tcp = outs
-    residuals = (W0t, W1t, P0t, P1t, Dt, ZPt, Tcp)
+    residuals = (W0t, W1t, P0t, P1t,
+                 Dt.reshape(Np, Bp), ZPt.reshape(Np, Bp), Tcp)
     return ll[0, :B], residuals
 
 
@@ -314,7 +350,7 @@ def _bwd_kernel(n_steps, kc,
             S11 = ee * Tst[km1, 2]
             W0 = w0_ref[km1]
             W1 = w1_ref[km1]
-            Dm = dD_ref[km1, :]
+            Dm = dD_ref[0, km1, :]
             Wd0 = W0 * Dm[None, :]
             Wd1 = W1 * Dm[None, :]
             Tst[k, 0] = S00 + Wd0[:, None, :] * W0[None, :, :]
@@ -343,8 +379,8 @@ def _bwd_kernel(n_steps, kc,
         W1 = w1_ref[k]
         pre0 = p0_ref[k]
         pre1 = p1_ref[k]
-        Dm = dD_ref[k, :]
-        zpm = zp_ref[k, :]
+        Dm = dD_ref[0, k, :]
+        zpm = zp_ref[0, k, :]
         T00 = Tst[k, 0]
         T01 = Tst[k, 1]
         T11 = Tst[k, 2]
@@ -454,10 +490,10 @@ def _bwd_kernel(n_steps, kc,
         coef[2] = coef[2] - dtn * ecbar * ec
 
         # per-step outputs
-        yb_ref[k, :] = ybar
-        s2b_ref[k, :] = s2bar
-        tb_ref[k, :] = jnp.sum(dv * dchain, axis=0)
-        dtb_ref[k, :] = -jnp.sum(cv * ecbar * ec, axis=0)
+        yb_ref[0, k, :] = ybar
+        s2b_ref[0, k, :] = s2bar
+        tb_ref[0, k, :] = jnp.sum(dv * dchain, axis=0)
+        dtb_ref[0, k, :] = -jnp.sum(cv * ecbar * ec, axis=0)
         return 0
 
     lax.fori_loop(0, kc, rev_step, 0)
@@ -472,7 +508,7 @@ def _bwd_kernel(n_steps, kc,
 
 
 def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g,
-               *, block_b: int = 128, chunk: int = 64, kc: int = 8,
+               *, block_b: int = None, chunk: int = None, kc: int = None,
                interpret: bool = False):
     """Adjoint of the batched likelihood: returns cotangents for
     (a, b, c, d, t, y, sigma2) given per-chain output cotangents ``g``.
@@ -480,6 +516,11 @@ def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if kc is None or chunk is None or block_b is None:
+        ab, ac, ak = auto_tiles(a.shape[1])
+        block_b = block_b or ab
+        chunk = chunk or ac
+        kc = kc or ak
     (aT, bT, cT, dT, tsm, dtsm, _yT, _s2T, suma,
      B, J, N, J8, Bp, Np, Nc) = _prep(a, b, c, d, t, y, sigma2, block_b, chunk)
     dtype = t.dtype
@@ -499,7 +540,7 @@ def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g,
     coef_spec = pl.BlockSpec((J8, block_b), lambda ib, iR: (0, ib))
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     lane_spec = pl.BlockSpec((1, block_b), lambda ib, iR: (0, ib))
-    rowk_spec = pl.BlockSpec((kc, block_b), lambda ib, iR: (rev(iR), ib))
+    rowk_spec = pl.BlockSpec((1, kc, block_b), lambda ib, iR: (rev(iR), 0, ib))
     tabk_spec = pl.BlockSpec((kc, J8, block_b), lambda ib, iR: (rev(iR), 0, ib))
     tcp_spec = pl.BlockSpec(
         (1, 3, J8, J8, block_b), lambda ib, iR: (rev(iR), 0, 0, 0, ib)
@@ -523,7 +564,7 @@ def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g,
         out_specs=[coefout_spec] * 4 + [rowk_spec, rowk_spec,
                                         rowk_spec, rowk_spec],
         out_shape=[jax.ShapeDtypeStruct((J8, Bp), dtype)] * 4
-        + [jax.ShapeDtypeStruct((Np, Bp), dtype)] * 4,
+        + [jax.ShapeDtypeStruct((num_r, kc, Bp), dtype)] * 4,
         scratch_shapes=[
             pltpu.VMEM((kc, 3, J8, J8, block_b), dtype),
             pltpu.VMEM((3, J8, J8, block_b), dtype),
@@ -534,8 +575,13 @@ def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g,
         interpret=interpret,
         **({"compiler_params": compiler_params} if compiler_params else {}),
     )(aT, bT, cT, dT, tsm, dtsm, suma, gp,
-      W0t, W1t, P0t, P1t, Dt, ZPt, Tcp)
+      W0t, W1t, P0t, P1t,
+      Dt.reshape(num_r, kc, Bp), ZPt.reshape(num_r, kc, Bp), Tcp)
     abar, bbar, cbar, dbar, ybar, s2bar, tbp, dtbp = outs
+    ybar = ybar.reshape(Np, Bp)
+    s2bar = s2bar.reshape(Np, Bp)
+    tbp = tbp.reshape(Np, Bp)
+    dtbp = dtbp.reshape(Np, Bp)
 
     # un-pad and fold the shared-time partials across lanes:
     # t appears via co/si at step m and via dt_m = t_m - t_{m-1},

@@ -120,3 +120,32 @@ def test_pallas_adjoint_matches_scan_vjp(B, J, N, chunk, kc):
             np.asarray(o), np.asarray(r), rtol=1e-8, atol=1e-10,
             err_msg=f"cotangent mismatch for {name}",
         )
+
+
+def test_multi_dataset_ragged_matches_per_row_scan():
+    """Per-chain time grids + ragged valid lengths (the data-parallel
+    many-light-curves axis, SURVEY §2.6) match per-row scan oracles."""
+    from pioran_tpu.ops import celerite as cel
+    from pioran_tpu.ops.pallas_celerite import batched_loglike_pallas_multi
+
+    B, J, N = 5, 3, 70
+    ks = jax.random.split(jax.random.PRNGKey(7), 9)
+    T = jnp.sort(jax.random.uniform(ks[6], (B, N)) * 100, axis=1)
+    a = jax.random.uniform(ks[0], (B, J)) * 0.5 + 0.1
+    b = jax.random.uniform(ks[1], (B, J)) * 0.2
+    c = jax.random.uniform(ks[2], (B, J)) * 0.3 + 0.05
+    d = jax.random.uniform(ks[3], (B, J)) * 0.4
+    y = jax.random.normal(ks[4], (B, N))
+    s2 = jax.random.uniform(ks[5], (B, N)) * 0.1 + 0.05
+    nv = jnp.array([70, 50, 70, 33, 64])
+
+    refs = [
+        float(cel.logl(a[i], b[i], c[i], d[i],
+                       T[i, :int(nv[i])], y[i, :int(nv[i])],
+                       s2[i, :int(nv[i])]))
+        for i in range(B)
+    ]
+    out = batched_loglike_pallas_multi(
+        a, b, c, d, T, y, s2, n_valid=nv, chunk=16, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), refs, rtol=1e-10)
