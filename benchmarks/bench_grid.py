@@ -123,10 +123,12 @@ def main():
                         A, Bc, Cc, Dc, t, Y, S2))
                     dtp = timeit(pf, A)
                     cell["pallas_evals_per_s"] = round(B / dtp, 1)
-                    gf = jax.jit(lambda A: value_and_grad_tables(
-                        A, Bc, Cc, Dc, t, Y, S2))
-                    dtg = timeit(gf, A)
-                    cell["pallas_grad_evals_per_s"] = round(B / dtg, 1)
+                    from pioran_tpu.ops.pallas_celerite_vjp import fits_vmem
+                    if fits_vmem(J):
+                        gf = jax.jit(lambda A: value_and_grad_tables(
+                            A, Bc, Cc, Dc, t, Y, S2))
+                        dtg = timeit(gf, A)
+                        cell["pallas_grad_evals_per_s"] = round(B / dtg, 1)
             rows.append(cell)
             print(f"N={N:6d} J={J:2d}: " + "  ".join(
                 f"{k}={cell[k]}" for k in cell if k.endswith("_ms")

@@ -37,7 +37,7 @@ from .priors import (
 )
 
 __all__ = ["GPModelSpec", "single_bending_model", "double_bending_model",
-           "periodic_rednoise_model", "run_inference"]
+           "periodic_rednoise_model", "run_inference", "run_inference_many"]
 
 
 @dataclass
@@ -426,4 +426,154 @@ def run_inference(
         with open(os.path.join(log_dir, "info", "results.json"), "w") as fh:
             json.dump(results, fh, indent=2, ensure_ascii=False)
     results["samples"] = theta
+    return results
+
+
+def run_inference_many(
+    datasets: Sequence[Tuple],
+    sampler: str = "chees",
+    key=None,
+    num_chains: int = 64,
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    n_components: int = 20,
+    basis_function: str = "SHO",
+    S_low: float = 20.0,
+    S_high: float = 20.0,
+    max_leapfrogs: int = 128,
+    log_dir: Optional[str] = None,
+) -> List[Dict]:
+    """Fit the single-bending model to MANY light curves in one program.
+
+    The data-parallel axis the reference lacks (one series per script
+    run, reference examples/ultranest/single_pl.jl:35): D datasets x
+    ``num_chains`` chains run as one ChEES-HMC ensemble of B = D*C
+    chains whose likelihood is a single fused Pallas kernel call with
+    per-chain (ragged) time grids (ops.pallas_celerite_multi).
+
+    One PriorSet serves every dataset: the bend-frequency bounds use the
+    global [min f_min, max f_max] band, and the per-dataset mean prior
+    mu ~ N(xbar_d, 5 sqrt(va_d)) is standardized — theta carries
+    mu_std ~ N(0, 1) and the likelihood applies
+    mu = xbar_d + 5 sqrt(va_d) * mu_std (an exact reparametrization).
+
+    ``datasets``: sequence of (t, y, yerr) arrays, lengths may differ.
+    Returns one results dict per dataset (means/stds in the dataset's
+    own mu units); artifacts per dataset under ``log_dir/ds{i}/``.
+    """
+    from .ops.pallas_celerite import batched_loglike_pallas_multi
+    from .samplers.chees import run_chees
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    D = len(datasets)
+    C = num_chains
+    B = D * C
+    dtype = jnp.result_type(float)
+
+    Ns = [len(d[0]) for d in datasets]
+    Nmax = max(Ns)
+
+    def pad_row(x, fill_mode):
+        x = np.asarray(x, dtype)
+        if len(x) == Nmax:
+            return x
+        if fill_mode == "edge":
+            return np.concatenate([x, np.full(Nmax - len(x), x[-1], dtype)])
+        return np.concatenate([x, np.full(Nmax - len(x), fill_mode, dtype)])
+
+    T = jnp.asarray(np.stack([pad_row(d[0], "edge") for d in datasets]))
+    Y = jnp.asarray(np.stack([pad_row(d[1], 1.0) for d in datasets]))
+    E = jnp.asarray(np.stack([pad_row(d[2], 1.0) for d in datasets]))
+    NV = jnp.asarray(Ns, dtype)
+    YN = jnp.log(Y)
+    xbar = jnp.asarray(
+        [float(np.mean(np.log(np.asarray(d[1])))) for d in datasets], dtype)
+    sd5 = jnp.asarray(
+        [5.0 * float(np.std(np.log(np.asarray(d[1])))) for d in datasets], dtype)
+
+    f_mins = [1.0 / float(d[0][-1] - d[0][0]) for d in datasets]
+    f_maxs = [1.0 / float(np.min(np.diff(np.asarray(d[0])))) / 2.0
+              for d in datasets]
+    f_min, f_max = min(f_mins), max(f_maxs)
+    min_f_b, max_f_b = f_min / 20.0 * 4.0, f_max * 20.0 / 4.0
+
+    prior = PriorSet([
+        ("alphas", TwoUniformDependent(0.0, 1.5, 4.0)),
+        ("f_1", LogUniform(min_f_b, max_f_b)),
+        ("variance", LogNormal(2 * -1.5, np.sqrt(2.0) * 1.0)),
+        ("nu", Gamma(2.0, 0.5)),
+        ("mu_std", Normal(0.0, 1.0)),
+    ])
+    ds_of_row = jnp.repeat(jnp.arange(D), C)  # (B,)
+
+    def coeffs_one(th):
+        a1, a2, f1, var, nu, mu_std = (th[i] for i in range(6))
+        kern = approx(
+            SingleBendingPowerLaw(a1, f1, a2), f_min, f_max,
+            n_components, var, S_low, S_high, basis_function=basis_function,
+        )
+        return kern.coefficients()
+
+    def loglike_batch(TH):
+        a, b, c, d = jax.vmap(coeffs_one)(TH)
+        mu = xbar[ds_of_row] + sd5[ds_of_row] * TH[:, 5]
+        t_rows = T[ds_of_row]
+        yv = YN[ds_of_row] - mu[:, None]
+        s2 = TH[:, 4][:, None] * E[ds_of_row] ** 2 / Y[ds_of_row] ** 2
+        nv = NV[ds_of_row]
+        if jax.default_backend() == "tpu":
+            return batched_loglike_pallas_multi(a, b, c, d, t_rows, yv, s2,
+                                                n_valid=nv)
+        # exact ragged scan oracle (same masking semantics as the kernel)
+        s2m = jnp.where(jnp.arange(Nmax)[None, :] < nv[:, None], s2, 1.0)
+        return jax.vmap(cel.logl_masked)(a, b, c, d, t_rows, yv, s2m, nv)
+
+    def logpost_batch(Z):
+        lp = jax.vmap(prior.unconstrained_logpdf)(Z)
+        TH = jax.vmap(prior.from_unconstrained)(Z)
+        return lp + loglike_batch(TH)
+
+    k1, k2 = jax.random.split(key)
+    z0 = jax.vmap(prior.to_unconstrained)(
+        jax.vmap(prior.sample)(jax.random.split(k1, B))
+    )
+    t0 = time.time()
+    samples_z, stats = run_chees(
+        lambda z: prior.unconstrained_logpdf(z),  # unused per-chain path
+        z0, k2, num_warmup=num_warmup, num_samples=num_samples,
+        logp_batch_fn=logpost_batch, max_leapfrogs=max_leapfrogs,
+    )
+    elapsed = time.time() - t0
+    # (S, B, dim) -> (D, C*S, dim) theta with per-dataset mu units
+    TH = jax.vmap(jax.vmap(prior.from_unconstrained))(samples_z)
+    TH = np.asarray(TH)
+    S = TH.shape[0]
+    TH = TH.reshape(S, D, C, 6).transpose(1, 2, 0, 3).reshape(D, C * S, 6)
+    names = ["α₁", "α₂", "f₁", "variance", "ν", "μ"]
+    results = []
+    for i in range(D):
+        th = TH[i].copy()
+        th[:, 5] = float(xbar[i]) + float(sd5[i]) * th[:, 5]  # un-standardize
+        res = {
+            "paramnames": names,
+            "sampler": sampler,
+            "elapsed_s": elapsed,
+            "posterior": {
+                "mean": th.mean(axis=0).tolist(),
+                "stdev": th.std(axis=0).tolist(),
+                "median": np.median(th, axis=0).tolist(),
+            },
+        }
+        if log_dir:
+            dsd = os.path.join(log_dir, f"ds{i}")
+            os.makedirs(os.path.join(dsd, "chains"), exist_ok=True)
+            os.makedirs(os.path.join(dsd, "info"), exist_ok=True)
+            with open(os.path.join(dsd, "chains", "equal_weighted_post.txt"),
+                      "w") as fh:
+                fh.write(" ".join(names) + "\n")
+                np.savetxt(fh, th)
+            with open(os.path.join(dsd, "info", "results.json"), "w") as fh:
+                json.dump(res, fh, indent=2, ensure_ascii=False)
+        res["samples"] = th
+        results.append(res)
     return results

@@ -328,3 +328,43 @@ def predict(kernel, tau, t, y, sigma2):
         return mu_left + mu_right
 
     return jax.vmap(combine)(jnp.arange(M))
+
+
+def logl_masked(a, b, c, d, t, y, sigma2, n_valid):
+    """Log-likelihood of the first ``n_valid`` points of a padded series.
+
+    Exact ragged handling with static shapes: the recursion runs over the
+    full padded grid (pad ``t`` with its last value so dt = 0, ``sigma2``
+    with 1 so D stays positive) and only steps < n_valid contribute to
+    logdet / the quadratic form / the PD check — the same masking
+    semantics as the Pallas multi-dataset kernel
+    (ops/pallas_celerite.batched_loglike_pallas_multi), for which this
+    is the CPU oracle. Uses the forward-only quadratic form
+    y^T K^-1 y = sum zp_n^2 / D_n.
+    """
+    uv = build_uv(a, b, c, d, t)
+    U, V, phi = uv
+    R = U.shape[-1]
+    suma = jnp.sum(a)
+    dtype = U.dtype
+    D, W = _factor(U, V, phi, sigma2, suma)
+
+    def fwd_step(carry, inp):
+        f, zp_prev, W_prev = carry
+        Un, Wn, phin, yn = inp
+        f = phin * (f + W_prev * zp_prev)
+        zp = yn - Un @ f
+        return (f, zp, Wn), zp
+
+    f0 = jnp.zeros((R,), dtype=dtype)
+    _, zp_rest = lax.scan(
+        fwd_step, (f0, y[0], W[0]), (U[1:], W[1:], phi[1:], y[1:])
+    )
+    zp = jnp.concatenate([y[:1], zp_rest])
+
+    live = jnp.arange(t.shape[0]) < n_valid
+    logdet = jnp.sum(jnp.where(live, jnp.log(jnp.abs(D)), 0.0))
+    quad = jnp.sum(jnp.where(live, zp * zp / D, 0.0))
+    ll = -0.5 * (logdet + quad + n_valid * jnp.log(2.0 * jnp.pi))
+    ok = jnp.all(jnp.where(live, D, 1.0) > 0) & jnp.isfinite(ll)
+    return jnp.where(ok, ll, -jnp.inf)

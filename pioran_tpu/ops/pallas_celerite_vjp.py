@@ -227,7 +227,13 @@ def fwd_aug_pallas(a, b, c, d, t, y, sigma2,
     from jax.experimental.pallas import tpu as pltpu
 
     if kc is None or chunk is None or block_b is None:
-        ab, ac, ak = auto_tiles(a.shape[1])
+        tiles = auto_tiles(a.shape[1])
+        if tiles is None:
+            raise ValueError(
+                f"J={a.shape[1]} exceeds the adjoint kernels' VMEM envelope "
+                "(J8 <= 24); use the scan VJP (batched_loglike handles this "
+                "automatically via fits_vmem)")
+        ab, ac, ak = tiles
         block_b = block_b or ab
         chunk = chunk or ac
         kc = kc or ak
@@ -517,7 +523,10 @@ def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g,
     from jax.experimental.pallas import tpu as pltpu
 
     if kc is None or chunk is None or block_b is None:
-        ab, ac, ak = auto_tiles(a.shape[1])
+        tiles = auto_tiles(a.shape[1])
+        if tiles is None:
+            raise ValueError("J exceeds the adjoint VMEM envelope (J8 <= 24)")
+        ab, ac, ak = tiles
         block_b = block_b or ab
         chunk = chunk or ac
         kc = kc or ak

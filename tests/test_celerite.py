@@ -178,3 +178,26 @@ def test_loglike_minus_inf_on_non_pd(simu_log_data):
     )
     ll_ok = log_likelihood(kern_ok, t, yv - jnp.mean(yv), 0.01 * jnp.ones_like(t))
     assert jnp.isfinite(ll_ok)
+
+
+def test_logl_masked_matches_sliced():
+    """Ragged oracle: logl_masked on a padded grid == logl on the slice."""
+    import jax
+    import jax.numpy as jnp
+
+    from pioran_tpu.ops import celerite as cel
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 8)
+    J, N, nv = 4, 55, 37
+    t = jnp.sort(jax.random.uniform(ks[6], (N,)) * 100)
+    a = jax.random.uniform(ks[0], (J,)) * 0.5 + 0.1
+    b = jax.random.uniform(ks[1], (J,)) * 0.2
+    c = jax.random.uniform(ks[2], (J,)) * 0.3 + 0.05
+    d = jax.random.uniform(ks[3], (J,)) * 0.4
+    y = jax.random.normal(ks[4], (N,))
+    s2 = jax.random.uniform(ks[5], (N,)) * 0.1 + 0.05
+    tp = jnp.concatenate([t[:nv], jnp.full((N - nv,), t[nv - 1])])
+    s2p = jnp.concatenate([s2[:nv], jnp.ones((N - nv,))])
+    ref = float(cel.logl(a, b, c, d, t[:nv], y[:nv], s2[:nv]))
+    out = float(cel.logl_masked(a, b, c, d, tp, y, s2p, nv))
+    assert abs(ref - out) < 1e-9

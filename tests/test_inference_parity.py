@@ -107,3 +107,25 @@ def test_advi_lower_bounds_stored_logz(stored, subset):
     ref_mean = np.asarray(stored["posterior"]["mean"])
     ref_std = np.asarray(stored["posterior"]["stdev"])
     assert np.all(np.abs(ours - ref_mean) < 1.5 * ref_std + 0.05)
+
+
+def test_run_inference_many_smoke():
+    """Multi-dataset driver: 3 ragged light curves x 8 chains in one
+    ChEES ensemble; posterior means land at finite, plausible values and
+    per-dataset mu recovers each dataset's own log-mean scale."""
+    from pioran_tpu.inference import run_inference_many
+
+    A = np.loadtxt(os.path.join(os.path.dirname(__file__), "data", "simu.txt"))
+    ds = [
+        (A[:200, 0], A[:200, 1], A[:200, 2]),
+        (A[100:350, 0], A[100:350, 1], A[100:350, 2]),
+        (A[:, 0], A[:, 1], A[:, 2]),
+    ]
+    res = run_inference_many(ds, num_chains=8, num_warmup=40, num_samples=40,
+                             max_leapfrogs=16, key=jax.random.PRNGKey(1))
+    assert len(res) == 3
+    for r, d in zip(res, ds):
+        m = np.asarray(r["posterior"]["mean"])
+        assert np.all(np.isfinite(m))
+        xbar = float(np.mean(np.log(d[1])))
+        assert abs(m[5] - xbar) < 2.0  # mu in the dataset's own units
