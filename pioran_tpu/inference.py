@@ -461,7 +461,7 @@ def run_inference_many(
     Returns one results dict per dataset (means/stds in the dataset's
     own mu units); artifacts per dataset under ``log_dir/ds{i}/``.
     """
-    from .ops.pallas_celerite import batched_loglike_pallas_multi
+    from .ops.pallas_celerite import batched_loglike_multi
     from .samplers.chees import run_chees
 
     key = jax.random.PRNGKey(0) if key is None else key
@@ -521,12 +521,7 @@ def run_inference_many(
         yv = YN[ds_of_row] - mu[:, None]
         s2 = TH[:, 4][:, None] * E[ds_of_row] ** 2 / Y[ds_of_row] ** 2
         nv = NV[ds_of_row]
-        if jax.default_backend() == "tpu":
-            return batched_loglike_pallas_multi(a, b, c, d, t_rows, yv, s2,
-                                                n_valid=nv)
-        # exact ragged scan oracle (same masking semantics as the kernel)
-        s2m = jnp.where(jnp.arange(Nmax)[None, :] < nv[:, None], s2, 1.0)
-        return jax.vmap(cel.logl_masked)(a, b, c, d, t_rows, yv, s2m, nv)
+        return batched_loglike_multi(a, b, c, d, t_rows, yv, s2, nv)
 
     def logpost_batch(Z):
         lp = jax.vmap(prior.unconstrained_logpdf)(Z)

@@ -45,7 +45,7 @@ import numpy as np
 
 __all__ = ["batched_loglike", "batched_loglike_pallas",
            "batched_loglike_pallas_fused", "batched_loglike_pallas_multi",
-           "build_tables"]
+           "batched_loglike_multi", "build_tables"]
 
 _LOG2PI = math.log(2.0 * math.pi)
 
@@ -560,3 +560,44 @@ def _bwd(res, g):
 
 
 batched_loglike.defvjp(_fwd, _bwd)
+
+
+def _scan_batched_multi(a, b, c, d, T, y, sigma2, n_valid):
+    from . import celerite as cel
+
+    s2m = jnp.where(
+        jnp.arange(T.shape[-1])[None, :] < n_valid[:, None], sigma2, 1.0
+    )
+    return jax.vmap(cel.logl_masked)(a, b, c, d, T, y, s2m, n_valid)
+
+
+@jax.custom_vjp
+def batched_loglike_multi(a, b, c, d, T, y, sigma2, n_valid):
+    """Differentiable multi-dataset batched likelihood.
+
+    Per-chain time grids T (B, N) and float valid lengths ``n_valid``
+    (B,). Pallas kernel forward on TPU, masked-scan elsewhere; the VJP
+    re-runs the masked scan under jax.vjp (identical adjoint on every
+    backend). ``n_valid`` is treated as non-differentiable.
+    """
+    if _on_tpu():
+        return batched_loglike_pallas_multi(a, b, c, d, T, y, sigma2,
+                                            n_valid=n_valid)
+    return _scan_batched_multi(a, b, c, d, T, y, sigma2, n_valid)
+
+
+def _multi_fwd(a, b, c, d, T, y, sigma2, n_valid):
+    return batched_loglike_multi(a, b, c, d, T, y, sigma2, n_valid), (
+        a, b, c, d, T, y, sigma2, n_valid)
+
+
+def _multi_bwd(res, g):
+    a, b, c, d, T, y, sigma2, n_valid = res
+    _, vjp = jax.vjp(
+        lambda *args: _scan_batched_multi(*args, n_valid), a, b, c, d, T, y,
+        sigma2,
+    )
+    return (*vjp(g), jnp.zeros_like(n_valid))
+
+
+batched_loglike_multi.defvjp(_multi_fwd, _multi_bwd)

@@ -87,9 +87,9 @@ _LOG2PI = math.log(2.0 * math.pi)
 # augmented forward
 # ---------------------------------------------------------------------------
 
-def _fwd_aug_kernel(n_steps, chunk, kc,
+def _fwd_aug_kernel(n_steps, chunk, kc, per_lane_t,
                     a_ref, b_ref, c_ref, d_ref, t_ref, dt_ref, y_ref, s2_ref,
-                    suma_ref,
+                    suma_ref, nv_ref,
                     out_ref, w0_ref, w1_ref, p0_ref, p1_ref, dD_ref, zp_ref,
                     tcp_ref,
                     S, fW, acc):
@@ -111,12 +111,17 @@ def _fwd_aug_kernel(n_steps, chunk, kc,
     cv = c_ref[...]
     dv = d_ref[...]
     suma = suma_ref[0, :]
+    nvalid = nv_ref[0, :]
 
     def step(k, _):
         g = i_n * chunk + k
-        live = (g < n_steps).astype(suma.dtype)
-        tn = t_ref[i_n, k]
-        dtn = dt_ref[i_n, k]
+        live = (g < nvalid).astype(suma.dtype)  # (Bblk,)
+        if per_lane_t:
+            tn = t_ref[0, k, :]
+            dtn = dt_ref[0, k, :]
+        else:
+            tn = t_ref[i_n, k]
+            dtn = dt_ref[i_n, k]
         yn = y_ref[0, k, :]
         s2n = s2_ref[0, k, :]
 
@@ -177,14 +182,14 @@ def _fwd_aug_kernel(n_steps, chunk, kc,
         acc[1, :] = zpn
         acc[2, :] = acc[2, :] + live * jnp.log(jnp.abs(Dn))
         acc[3, :] = acc[3, :] + live * (zpn * zpn) / Dn
-        acc[4, :] = jnp.minimum(acc[4, :], jnp.where(g < n_steps, Dn, jnp.inf))
+        acc[4, :] = jnp.minimum(acc[4, :], jnp.where(g < nvalid, Dn, jnp.inf))
         return 0
 
     jax.lax.fori_loop(0, chunk, step, 0)
 
     @pl.when(i_n == num_n - 1)
     def _finish():
-        ll = -0.5 * (acc[2, :] + acc[3, :] + n_steps * _LOG2PI)
+        ll = -0.5 * (acc[2, :] + acc[3, :] + nvalid * _LOG2PI)
         ok = (acc[4, :] > 0) & jnp.isfinite(ll)
         out_ref[0, :] = jnp.where(ok, ll, -jnp.inf)
 
@@ -215,22 +220,45 @@ def _prep(a, b, c, d, t, y, sigma2, block_b, chunk):
             B, J, N, J8, Bp, Np, Nc)
 
 
-def fwd_aug_pallas(a, b, c, d, t, y, sigma2,
-                   *, block_b: int = None, chunk: int = None, kc: int = None,
-                   interpret: bool = False):
-    """Fused forward that also emits the backward's residual tables.
+def _prep_multi(a, b, c, d, T, y, sigma2, n_valid, block_b, chunk):
+    """Padding/layout when every lane has its own time grid."""
+    B, J = a.shape
+    N = T.shape[-1]
+    dtype = y.dtype
+    J8 = -(-J // 8) * 8
+    a = _pad_axis(a, J8, 1)
+    b = _pad_axis(b, J8, 1)
+    c = _pad_axis(c, J8, 1)
+    d = _pad_axis(d, J8, 1)
+    Bp = -(-B // block_b) * block_b
+    a, b, c, d = (_pad_axis(x, Bp, 0) for x in (a, b, c, d))
+    T = _pad_axis(T, Bp, 0)
+    y = _pad_axis(y, Bp, 0)
+    sigma2 = _pad_axis(sigma2, Bp, 0, fill=1.0)
+    if n_valid is None:
+        nv = jnp.full((1, Bp), N, dtype)
+    else:
+        nv = _pad_axis(jnp.asarray(n_valid, dtype)[None, :], Bp, 1)
+    Np = -(-N // chunk) * chunk
+    Nc = Np // chunk
+    Tp = jnp.pad(T, ((0, 0), (0, Np - N)), mode="edge") if Np > N else T
+    dt = jnp.concatenate(
+        [jnp.zeros((Bp, 1), dtype), jnp.diff(Tp, axis=1)], axis=1)
+    tT = Tp.T.reshape(Nc, chunk, Bp)
+    dtT = dt.T.reshape(Nc, chunk, Bp)
+    yT = _pad_axis(y.T, Np, 0).reshape(Nc, chunk, Bp)
+    s2T = _pad_axis(sigma2.T, Np, 0, fill=1.0).reshape(Nc, chunk, Bp)
+    suma = jnp.sum(a, axis=1)[None, :]
+    return (a.T, b.T, c.T, d.T, tT, dtT, yT, s2T, suma, nv,
+            B, J, N, J8, Bp, Np, Nc)
 
-    Returns (ll (B,), residuals) where residuals are in padded layout
-    ready for :func:`bwd_pallas`.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
+def _resolve_tiles(J, block_b, chunk, kc):
     if kc is None or chunk is None or block_b is None:
-        tiles = auto_tiles(a.shape[1])
+        tiles = auto_tiles(J)
         if tiles is None:
             raise ValueError(
-                f"J={a.shape[1]} exceeds the adjoint kernels' VMEM envelope "
+                f"J={J} exceeds the adjoint kernels' VMEM envelope "
                 "(J8 <= 24); use the scan VJP (batched_loglike handles this "
                 "automatically via fits_vmem)")
         ab, ac, ak = tiles
@@ -238,25 +266,53 @@ def fwd_aug_pallas(a, b, c, d, t, y, sigma2,
         chunk = chunk or ac
         kc = kc or ak
     assert chunk % kc == 0
-    (aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma,
-     B, J, N, J8, Bp, Np, Nc) = _prep(a, b, c, d, t, y, sigma2, block_b, chunk)
-    dtype = t.dtype
+    return block_b, chunk, kc
+
+
+def fwd_aug_pallas(a, b, c, d, t, y, sigma2, n_valid=None,
+                   *, block_b: int = None, chunk: int = None, kc: int = None,
+                   interpret: bool = False):
+    """Fused forward that also emits the backward's residual tables.
+
+    ``t`` may be (N,) shared or (B, N) per-lane (with optional float
+    ``n_valid`` (B,) ragged lengths). Returns (ll (B,), residuals) in
+    padded layout ready for :func:`bwd_pallas`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    block_b, chunk, kc = _resolve_tiles(a.shape[1], block_b, chunk, kc)
+    per_lane_t = t.ndim == 2
+    dtype = y.dtype
+    if per_lane_t:
+        (aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma, nv,
+         B, J, N, J8, Bp, Np, Nc) = _prep_multi(
+            a, b, c, d, t, y, sigma2, n_valid, block_b, chunk)
+    else:
+        (aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma,
+         B, J, N, J8, Bp, Np, Nc) = _prep(
+            a, b, c, d, t, y, sigma2, block_b, chunk)
+        yT = yT.reshape(Nc, chunk, Bp)
+        s2T = s2T.reshape(Nc, chunk, Bp)
+        nv = jnp.full((1, Bp), N, dtype)
     Ncp = Np // kc
 
     grid = (Bp // block_b, Nc)
     coef_spec = pl.BlockSpec((J8, block_b), lambda ib, iN: (0, ib))
-    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     # per-step scalar rows travel as (Nc, chunk, Bp) with full-dim blocks
     # so any chunk (even < 8 sublanes) satisfies the tiling rules
     row_spec = pl.BlockSpec((1, chunk, block_b), lambda ib, iN: (iN, 0, ib))
+    lane_spec = pl.BlockSpec((1, block_b), lambda ib, iN: (0, ib))
+    if per_lane_t:
+        t_spec = row_spec
+    else:
+        t_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     tabJ_spec = pl.BlockSpec((chunk, J8, block_b), lambda ib, iN: (iN, 0, ib))
     tcp_spec = pl.BlockSpec(
         (chunk // kc, 3, J8, J8, block_b), lambda ib, iN: (iN, 0, 0, 0, ib)
     )
-    yT = yT.reshape(Nc, chunk, Bp)
-    s2T = s2T.reshape(Nc, chunk, Bp)
 
-    kern = functools.partial(_fwd_aug_kernel, N, chunk, kc)
+    kern = functools.partial(_fwd_aug_kernel, N, chunk, kc, per_lane_t)
     try:
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -267,8 +323,8 @@ def fwd_aug_pallas(a, b, c, d, t, y, sigma2,
     outs = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[coef_spec] * 4 + [smem_spec, smem_spec, row_spec, row_spec,
-                                    pl.BlockSpec((1, block_b), lambda ib, iN: (0, ib))],
+        in_specs=[coef_spec] * 4 + [t_spec, t_spec, row_spec, row_spec,
+                                    lane_spec, lane_spec],
         out_specs=[
             pl.BlockSpec((1, block_b), lambda ib, iN: (0, ib)),
             tabJ_spec, tabJ_spec, tabJ_spec, tabJ_spec,
@@ -291,7 +347,7 @@ def fwd_aug_pallas(a, b, c, d, t, y, sigma2,
         ],
         interpret=interpret,
         **({"compiler_params": compiler_params} if compiler_params else {}),
-    )(aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma)
+    )(aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma, nv)
     ll, W0t, W1t, P0t, P1t, Dt, ZPt, Tcp = outs
     residuals = (W0t, W1t, P0t, P1t,
                  Dt.reshape(Np, Bp), ZPt.reshape(Np, Bp), Tcp)
@@ -302,8 +358,9 @@ def fwd_aug_pallas(a, b, c, d, t, y, sigma2,
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(n_steps, kc,
+def _bwd_kernel(n_steps, kc, per_lane_t,
                 a_ref, b_ref, c_ref, d_ref, t_ref, dt_ref, suma_ref, g_ref,
+                nv_ref,
                 w0_ref, w1_ref, p0_ref, p1_ref, dD_ref, zp_ref, tcp_ref,
                 ab_ref, bb_ref, cb_ref, db_ref, yb_ref, s2b_ref,
                 tb_ref, dtb_ref,
@@ -336,6 +393,7 @@ def _bwd_kernel(n_steps, kc,
     dv = d_ref[...]
     suma = suma_ref[0, :]
     gl = g_ref[0, :]
+    nvalid = nv_ref[0, :]
 
     # ---- phase 1: recompute T_m for m in [base, base+kc) from checkpoint
     def fwd_step(k, _):
@@ -348,7 +406,10 @@ def _bwd_kernel(n_steps, kc,
         @pl.when(k > 0)
         def _rest():
             km1 = k - 1
-            dtn = dt_ref[chunk_idx, km1]
+            if per_lane_t:
+                dtn = dt_ref[0, km1, :]
+            else:
+                dtn = dt_ref[chunk_idx, km1]
             ec = jnp.exp(cv * (-dtn))
             ee = ec[:, None, :] * ec[None, :, :]
             S00 = ee * Tst[km1, 0]
@@ -370,9 +431,13 @@ def _bwd_kernel(n_steps, kc,
     def rev_step(j, _):
         k = kc - 1 - j
         g = base + k
-        live = (g < n_steps).astype(suma.dtype)
-        tn = t_ref[chunk_idx, k]
-        dtn = dt_ref[chunk_idx, k]
+        live = (g < nvalid).astype(suma.dtype)  # (Bblk,)
+        if per_lane_t:
+            tn = t_ref[0, k, :]
+            dtn = dt_ref[0, k, :]
+        else:
+            tn = t_ref[chunk_idx, k]
+            dtn = dt_ref[chunk_idx, k]
 
         co = jnp.cos(dv * tn)
         si = jnp.sin(dv * tn)
