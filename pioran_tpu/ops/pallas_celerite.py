@@ -587,12 +587,39 @@ def batched_loglike_multi(a, b, c, d, T, y, sigma2, n_valid):
 
 
 def _multi_fwd(a, b, c, d, T, y, sigma2, n_valid):
+    from .pallas_celerite_vjp import fits_vmem
+
+    if _on_tpu() and fits_vmem(a.shape[1]):
+        from .pallas_celerite_vjp import fwd_aug_pallas
+
+        # match the masked-scan oracle: dead steps see unit variance so
+        # the factorization stays benign beyond each lane's n_valid
+        s2m = jnp.where(
+            jnp.arange(T.shape[-1])[None, :] < n_valid[:, None], sigma2, 1.0
+        )
+        ll, tables = fwd_aug_pallas(a, b, c, d, T, y, s2m, n_valid=n_valid)
+        return ll, (a, b, c, d, T, y, sigma2, n_valid, ll, tables)
     return batched_loglike_multi(a, b, c, d, T, y, sigma2, n_valid), (
-        a, b, c, d, T, y, sigma2, n_valid)
+        a, b, c, d, T, y, sigma2, n_valid, None, None)
 
 
 def _multi_bwd(res, g):
-    a, b, c, d, T, y, sigma2, n_valid = res
+    a, b, c, d, T, y, sigma2, n_valid, ll, tables = res
+    if tables is not None:
+        from .pallas_celerite_vjp import bwd_pallas
+
+        g = jnp.where(jnp.isfinite(ll), g, jnp.zeros_like(g))
+        s2m = jnp.where(
+            jnp.arange(T.shape[-1])[None, :] < n_valid[:, None], sigma2, 1.0
+        )
+        abar, bbar, cbar, dbar, tbar, ybar, s2bar = bwd_pallas(
+            a, b, c, d, T, y, s2m, tables, g, n_valid=n_valid)
+        live = jnp.arange(T.shape[-1])[None, :] < n_valid[:, None]
+        tbar = jnp.where(live, tbar, 0.0)
+        ybar = jnp.where(live, ybar, 0.0)
+        s2bar = jnp.where(live, s2bar, 0.0)
+        return (abar, bbar, cbar, dbar, tbar, ybar, s2bar,
+                jnp.zeros_like(n_valid))
     _, vjp = jax.vjp(
         lambda *args: _scan_batched_multi(*args, n_valid), a, b, c, d, T, y,
         sigma2,

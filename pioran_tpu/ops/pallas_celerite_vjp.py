@@ -578,34 +578,44 @@ def _bwd_kernel(n_steps, kc, per_lane_t,
         db_ref[...] = coef[3]
 
 
-def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g,
+def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g, n_valid=None,
                *, block_b: int = None, chunk: int = None, kc: int = None,
                interpret: bool = False):
     """Adjoint of the batched likelihood: returns cotangents for
     (a, b, c, d, t, y, sigma2) given per-chain output cotangents ``g``.
+
+    ``t`` may be (N,) shared across the batch or (B, N) per-lane with
+    optional ragged lengths ``n_valid`` (B,), mirroring
+    :func:`fwd_aug_pallas`. With per-lane ``t`` the returned ``tbar``
+    is (B, N); with shared ``t`` it is (N,) (summed over lanes).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if kc is None or chunk is None or block_b is None:
-        tiles = auto_tiles(a.shape[1])
-        if tiles is None:
-            raise ValueError("J exceeds the adjoint VMEM envelope (J8 <= 24)")
-        ab, ac, ak = tiles
-        block_b = block_b or ab
-        chunk = chunk or ac
-        kc = kc or ak
-    (aT, bT, cT, dT, tsm, dtsm, _yT, _s2T, suma,
-     B, J, N, J8, Bp, Np, Nc) = _prep(a, b, c, d, t, y, sigma2, block_b, chunk)
-    dtype = t.dtype
+    block_b, chunk, kc = _resolve_tiles(a.shape[1], block_b, chunk, kc)
+    per_lane_t = t.ndim == 2
+    dtype = y.dtype
+    if per_lane_t:
+        (aT, bT, cT, dT, tsm, dtsm, _yT, _s2T, suma, nv,
+         B, J, N, J8, Bp, Np, Nc) = _prep_multi(
+            a, b, c, d, t, y, sigma2, n_valid, block_b, chunk)
+    else:
+        (aT, bT, cT, dT, tsm, dtsm, _yT, _s2T, suma,
+         B, J, N, J8, Bp, Np, Nc) = _prep(
+            a, b, c, d, t, y, sigma2, block_b, chunk)
+        nv = jnp.full((1, Bp), N, dtype)
     W0t, W1t, P0t, P1t, Dt, ZPt, Tcp = residuals
     gp = _pad_axis(jnp.asarray(g, dtype)[None, :], Bp, 1)
 
     num_r = Np // kc
-    # the backward walks time in kc-sized chunks: re-tile the SMEM
-    # t/dt tables so row chunk_idx == base // kc
-    tsm = tsm.reshape(num_r, kc)
-    dtsm = dtsm.reshape(num_r, kc)
+    # the backward walks time in kc-sized chunks: re-tile the t/dt
+    # tables so row chunk_idx == base // kc
+    if per_lane_t:
+        tsm = tsm.reshape(num_r, kc, Bp)
+        dtsm = dtsm.reshape(num_r, kc, Bp)
+    else:
+        tsm = tsm.reshape(num_r, kc)
+        dtsm = dtsm.reshape(num_r, kc)
     grid = (Bp // block_b, num_r)
 
     def rev(i):  # reverse chunk order
@@ -620,8 +630,9 @@ def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g,
         (1, 3, J8, J8, block_b), lambda ib, iR: (rev(iR), 0, 0, 0, ib)
     )
     coefout_spec = pl.BlockSpec((J8, block_b), lambda ib, iR: (0, ib))
+    t_spec = rowk_spec if per_lane_t else smem_spec
 
-    kern = functools.partial(_bwd_kernel, N, kc)
+    kern = functools.partial(_bwd_kernel, N, kc, per_lane_t)
     try:
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -632,7 +643,8 @@ def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g,
     outs = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[coef_spec] * 4 + [smem_spec, smem_spec, lane_spec, lane_spec,
+        in_specs=[coef_spec] * 4 + [t_spec, t_spec, lane_spec, lane_spec,
+                                    lane_spec,
                                     tabk_spec, tabk_spec, tabk_spec, tabk_spec,
                                     rowk_spec, rowk_spec, tcp_spec],
         out_specs=[coefout_spec] * 4 + [rowk_spec, rowk_spec,
@@ -648,7 +660,7 @@ def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g,
         ],
         interpret=interpret,
         **({"compiler_params": compiler_params} if compiler_params else {}),
-    )(aT, bT, cT, dT, tsm, dtsm, suma, gp,
+    )(aT, bT, cT, dT, tsm, dtsm, suma, gp, nv,
       W0t, W1t, P0t, P1t,
       Dt.reshape(num_r, kc, Bp), ZPt.reshape(num_r, kc, Bp), Tcp)
     abar, bbar, cbar, dbar, ybar, s2bar, tbp, dtbp = outs
@@ -657,7 +669,7 @@ def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g,
     tbp = tbp.reshape(Np, Bp)
     dtbp = dtbp.reshape(Np, Bp)
 
-    # un-pad and fold the shared-time partials across lanes:
+    # un-pad and fold the time partials:
     # t appears via co/si at step m and via dt_m = t_m - t_{m-1},
     # dt_{m+1} = t_{m+1} - t_m  =>  tbar_m += dtbar_m - dtbar_{m+1}
     abar = abar.T[:B, :J]
@@ -666,11 +678,18 @@ def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g,
     dbar = dbar.T[:B, :J]
     ybar = ybar.T[:B, :N]
     s2bar = s2bar.T[:B, :N]
-    tb = jnp.sum(tbp[:N], axis=1)
-    dtb = jnp.sum(dtbp, axis=1)
-    dtb = dtb.at[N:].set(0.0)
-    dtb = jnp.concatenate([dtb, jnp.zeros((1,), dtype)])  # guard m = N-1
-    tbar = tb + dtb[:N] - dtb[1:N + 1]
+    if per_lane_t:
+        # per-lane time grids: tbar is (B, N)
+        dtbp = dtbp.at[N:].set(0.0)
+        dtb = jnp.concatenate(
+            [dtbp, jnp.zeros((1, Bp), dtype)])  # guard m = N-1
+        tbar = (tbp[:N] + dtb[:N] - dtb[1:N + 1]).T[:B]
+    else:
+        tb = jnp.sum(tbp[:N], axis=1)
+        dtb = jnp.sum(dtbp, axis=1)
+        dtb = dtb.at[N:].set(0.0)
+        dtb = jnp.concatenate([dtb, jnp.zeros((1,), dtype)])  # guard m = N-1
+        tbar = tb + dtb[:N] - dtb[1:N + 1]
     return abar, bbar, cbar, dbar, tbar, ybar, s2bar
 
 
