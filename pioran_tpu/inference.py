@@ -37,7 +37,8 @@ from .priors import (
 )
 
 __all__ = ["GPModelSpec", "single_bending_model", "double_bending_model",
-           "periodic_rednoise_model", "run_inference", "run_inference_many"]
+           "periodic_rednoise_model", "carma_model", "run_inference",
+           "run_inference_many"]
 
 
 @dataclass
@@ -282,6 +283,142 @@ def periodic_rednoise_model(
     )
 
 
+def carma_model(
+    t, y, yerr, xbar, va,
+    p: int = 2,
+    q: int = 0,
+    use_c: bool = False,
+    mu_n: float = -3.0,
+    sigma_n: float = float(np.sqrt(2.0)),
+) -> GPModelSpec:
+    """CARMA(p, q) inference model (reference docs/src/carma.md:63-200).
+
+    The reference parameterizes the AR/MA polynomials by quadratic
+    factors x^2 + b x + c with the dependent prior
+    ``c ~ U(0, f_max^2) + b^2/4`` and ``b ~ logU(2 f_min, 2 f_max)``
+    (odd-order trailing factor ``~ logU(f_min, f_max)``), then REJECTS
+    parameter sets whose roots leave the band
+    ``-f_max < Re r < -f_min``, ``|Im r| < f_max``. Re-parameterized for
+    TPU: theta carries ``u = c - b^2/4 ~ U(0, f_max^2)`` directly, so
+    every draw is a complex-conjugate pair with
+    ``Re r = -b/2 in (-f_max, -f_min)`` and ``|Im r| = sqrt(u) < f_max``
+    — the constraint set has prior measure 1 and the posterior is smooth
+    (no -Inf cliffs inside jit). The root-ordering rejection is
+    commented out in the reference and omitted here too.
+
+    theta = [ (u_k, b_k) x p//2, (r_p if p odd),
+              (u_k, b_k) x q//2, (r_q if q odd),
+              variance, nu, mu, (c if use_c) ].
+    With ``use_c`` the data transform is ``log(y - c)`` with
+    ``sigma^2 = nu yerr^2/(y-c)^2`` (reference docs/src/carma.md:118-125);
+    otherwise the standard log-transform of the single-bending model.
+    """
+    from .models.carma import carma_celerite_coefs_real, poly_from_conjugate_pairs
+
+    t = jnp.asarray(t)
+    y = jnp.asarray(y)
+    yerr = jnp.asarray(yerr)
+    f_min, f_max = _freq_range(np.asarray(t))
+
+    items: List[Tuple[str, object]] = []
+    names: List[str] = []
+    for tag, order in (("a", p), ("b", q)):
+        for k in range(order // 2):
+            items.append((f"q{tag}_u{k}", Uniform(0.0, f_max**2)))
+            items.append((f"q{tag}_b{k}", LogUniform(2 * f_min, 2 * f_max)))
+            names += [f"q{tag}_u{k}", f"q{tag}_b{k}"]
+        if order % 2 == 1:
+            items.append((f"q{tag}_r", LogUniform(f_min, f_max)))
+            names.append(f"q{tag}_r")
+    items += [
+        ("variance", LogNormal(mu_n, sigma_n)),
+        ("nu", Gamma(2.0, 0.5)),
+        ("mu", Normal(xbar, 5.0 * np.sqrt(va))),
+    ]
+    names += ["variance", "ν", "μ"]
+    if use_c:
+        items.append(("c", LogUniform(1e-6, float(np.min(np.asarray(y))) * 0.99)))
+        names.append("c")
+    prior = PriorSet(items)
+
+    n_ar = 2 * (p // 2) + (p % 2)
+    n_ma = 2 * (q // 2) + (q % 2)
+
+    def _roots(th, off, order):
+        """Conjugate-pair root lists (re, im) from (u, b) params; trailing
+        real root. Real arithmetic throughout: TPU backends have no
+        complex dtype (models/carma.py real path)."""
+        re_l, im_l = [], []
+        i = off
+        for _ in range(order // 2):
+            u, bq = th[i], th[i + 1]
+            x, yv = -0.5 * bq, jnp.sqrt(u)
+            re_l += [x, x]
+            im_l += [yv, -yv]
+            i += 2
+        if order % 2 == 1:
+            re_l.append(-th[i])
+            im_l.append(jnp.zeros_like(th[i]))
+            i += 1
+        return re_l, im_l, i
+
+    def _parts(th):
+        ar_re, ar_im, i = _roots(th, 0, p)
+        ma_re, ma_im, i = _roots(th, i, q)
+        var, nu, mu = th[i], th[i + 1], th[i + 2]
+        c = th[i + 3] if use_c else None
+        if q > 0:
+            pairs_re = [ma_re[2 * k] for k in range(q // 2)]
+            pairs_im = [ma_im[2 * k] for k in range(q // 2)]
+            reals = [ma_re[q - 1]] if q % 2 == 1 else []
+            beta = poly_from_conjugate_pairs(pairs_re, pairs_im, reals)
+        else:
+            beta = jnp.ones((1,), jnp.result_type(float))
+        return ar_re, ar_im, beta, var, nu, mu, c
+
+    def coeff_fn(th):
+        ar_re, ar_im, beta, var, nu, mu, c = _parts(th)
+        a, b, cc, d = carma_celerite_coefs_real(p, ar_re, ar_im, beta, norm=var)
+        if use_c:
+            yn = jnp.log(y - c)
+            s2 = nu * yerr**2 / (y - c) ** 2
+        else:
+            yn = jnp.log(y)
+            s2 = nu * yerr**2 / y**2
+        return a, b, cc, d, yn - mu, s2
+
+    def loglike(th):
+        a, b, cc, d, yv, s2 = coeff_fn(th)
+        return cel.logl(a, b, cc, d, t, yv, s2)
+
+    def gp_model(tt, yy, ee, th):
+        from .models.kernels import CeleriteKernel
+
+        ar_re, ar_im, beta, var, nu, mu, c = _parts(th)
+        a, b, cc, d = carma_celerite_coefs_real(p, ar_re, ar_im, beta, norm=var)
+        kern = CeleriteKernel(a=a, b=b, c=cc, d=d)
+        yy = jnp.asarray(yy)
+        ee = jnp.asarray(ee)
+        if use_c:
+            s2 = nu * ee**2 / (yy - c) ** 2
+        else:
+            s2 = nu * ee**2 / yy**2
+        return ScalableGP(mu, kern)(jnp.asarray(tt), s2)
+
+    spec = GPModelSpec(
+        prior=prior, loglike=loglike, names=names,
+        gp_model=gp_model, psd_model=None,
+        paramnames_split={"psd": names[: n_ar + n_ma], "norm": "variance",
+                          "scale_err": "ν", "mean": "μ",
+                          **({"log_transform": "c"} if use_c else {})},
+        t=np.asarray(t), y=np.asarray(y), yerr=np.asarray(yerr),
+        f_min=f_min, f_max=f_max,
+        loglike_batch=_batched_loglike_from_coeffs(coeff_fn, t),
+    )
+    spec.carma_pq = (p, q)
+    return spec
+
+
 def run_inference(
     spec: GPModelSpec,
     sampler: str = "smc",
@@ -294,12 +431,18 @@ def run_inference(
     log_dir: Optional[str] = None,
     smc_move: str = "mala",
     resume: bool = False,
+    num_ns_mcmc: int = 48,
+    frac_remain: float = 1e-2,
 ) -> Dict:
-    """Run SMC / NUTS / ChEES on a model spec and write artifacts.
+    """Run NS / SMC / NUTS / ChEES / ADVI on a model spec, write artifacts.
 
-    Returns a results dict with posterior samples (theta space), summary
-    moments, and (for SMC) the logZ evidence — the analog of ultranest's
-    ``results`` (reference examples/ultranest/single_pl.jl:117).
+    ``sampler="ns"`` is the direct ultranest analog (vectorized nested
+    sampling, samplers/ns.py): ``num_particles`` live points, evidence
+    logZ with an ultranest-style logzerr, and an equal-weighted
+    posterior. Returns a results dict with posterior samples (theta
+    space), summary moments, and (NS/SMC) the logZ evidence — the analog
+    of ultranest's ``results`` (reference
+    examples/ultranest/single_pl.jl:117).
     """
     key = jax.random.PRNGKey(0) if key is None else key
     prior = spec.prior
@@ -338,6 +481,45 @@ def run_inference(
             "logz": float(res.logZ),
             "num_temper_steps": int(res.num_steps),
             "ncall": int(res.num_steps) * num_moves * num_particles,
+        }
+    elif sampler == "ns":
+        from .samplers.ns import run_ns, equal_weight_indices
+
+        dim = prior.dim
+        if spec.loglike_batch is not None:
+            def loglike_u_batch(U):
+                return spec.loglike_batch(jax.vmap(prior.transform)(U))
+        else:
+            def loglike_u_batch(U):
+                return jax.vmap(lambda u: spec.loglike(prior.transform(u)))(U)
+        k1, k2 = jax.random.split(key)
+        n_delete = max(num_particles // 8, 1)
+        res = run_ns(
+            loglike_u_batch, k1, num_live=num_particles, dim=dim,
+            n_delete=n_delete, num_mcmc=num_ns_mcmc,
+            max_iters=max(8 * num_particles // n_delete, 400),
+            frac_remain=frac_remain,
+        )
+        n_eq = max(num_samples * 4, 4000)
+        idx = equal_weight_indices(
+            k2, res.dead_logl, res.dead_logw, res.num_dead, n_eq
+        )
+        theta = np.asarray(
+            jax.vmap(prior.transform)(res.dead_u[idx])
+        )
+        # Kish effective sample size of the posterior weights
+        logp = np.asarray(res.dead_logl + res.dead_logw)
+        valid = np.arange(logp.shape[0]) < int(res.num_dead)
+        logp = np.where(valid & np.isfinite(logp), logp, -np.inf)
+        logp -= jax.scipy.special.logsumexp(jnp.asarray(logp))
+        w = np.exp(logp)
+        extra = {
+            "logz": float(res.logZ),
+            "logzerr": float(res.logZ_err),
+            "H": float(res.H),
+            "ess": float(1.0 / np.sum(w * w)),
+            "ncall": int(res.ncall),
+            "insertion_order_converged": bool(res.num_iters < 8 * num_particles // n_delete),
         }
     elif sampler in ("nuts", "chees"):
         if sampler == "nuts":
@@ -394,7 +576,7 @@ def run_inference(
         }
     else:
         raise ValueError(
-            f"unknown sampler {sampler!r}; use smc, nuts, chees or advi"
+            f"unknown sampler {sampler!r}; use ns, smc, nuts, chees or advi"
         )
 
     elapsed = time.time() - t0

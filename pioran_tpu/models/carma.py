@@ -20,13 +20,143 @@ from .kernels import CeleriteKernel
 __all__ = [
     "CARMA",
     "carma_celerite_coefs",
+    "carma_celerite_coefs_real",
     "carma_covariance",
     "carma_psd",
+    "carma_psd_real",
     "carma_normalisation",
+    "poly_from_conjugate_pairs",
     "quad2roots",
     "roots2coeffs",
     "sample_quad",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Real-arithmetic path (TPU): complex dtypes are unsupported on TPU
+# backends, and the CARMA roots come in conjugate pairs anyway, so the
+# whole partial-fraction pipeline decomposes into real (re, im) pairs.
+# This is the jitted likelihood path; the complex functions below remain
+# as the CPU oracle (tests assert both agree to f64 precision).
+# ---------------------------------------------------------------------------
+
+
+def _c_mul(a, b):
+    return a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0]
+
+
+def _c_div(a, b):
+    d = b[0] * b[0] + b[1] * b[1]
+    return (a[0] * b[0] + a[1] * b[1]) / d, (a[1] * b[0] - a[0] * b[1]) / d
+
+
+def _c_polyval(coeffs, z):
+    """Horner evaluation of a real-coefficient polynomial (ascending
+    order, static length) at the complex point z = (re, im)."""
+    n = coeffs.shape[0]
+    re = jnp.zeros_like(z[0]) + coeffs[n - 1]
+    im = jnp.zeros_like(z[0])
+    for i in range(n - 2, -1, -1):
+        re, im = _c_mul((re, im), z)
+        re = re + coeffs[i]
+    return re, im
+
+
+def poly_from_conjugate_pairs(pair_re, pair_im, real_roots=()):
+    """Real coefficients (ascending, monic) of the polynomial whose roots
+    are the conjugate pairs (re_k +- i im_k) plus optional real roots —
+    the real-arithmetic analog of :func:`roots2coeffs` for the MA
+    polynomial (reference src/CARMA.jl:185-188). Static orders; each
+    conjugate pair contributes the real quadratic
+    z^2 - 2 re z + (re^2 + im^2)."""
+    dtype = jnp.result_type(float)
+    c = jnp.ones((1,), dtype)
+    for k in range(len(pair_re)):
+        x, y = pair_re[k], pair_im[k]
+        quad = jnp.stack([x * x + y * y, -2.0 * x, jnp.ones((), dtype)])
+        c = jnp.convolve(c, quad)
+    for rho in real_roots:
+        c = jnp.convolve(c, jnp.stack([-rho, jnp.ones((), dtype)]))
+    return c
+
+
+def carma_celerite_coefs_real(
+    p: int, root_re, root_im, beta, norm=1.0, is_integrated_power: bool = True
+):
+    """CARMA -> celerite (a, b, c, d) partial fractions in real arithmetic.
+
+    Same math as :func:`carma_celerite_coefs` (reference
+    src/CARMA.jl:98-143) with every complex number carried as an
+    (re, im) pair — TPU backends have no complex dtype, and the
+    conjugate-pair structure keeps everything closed under real ops.
+    ``root_re``/``root_im``: full length-p root lists with
+    root[2k+1] = conj(root[2k]) and a real last root when p is odd.
+    """
+    beta = jnp.asarray(beta)
+    J = p // 2 + (p % 2)
+
+    a_list, b_list, c_list, d_list = [], [], [], []
+    for k in range(J):
+        x, y = root_re[2 * k], root_im[2 * k]
+        num1 = _c_polyval(beta, (x, y))
+        num2 = _c_polyval(beta, (-x, -y))
+        fr = _c_mul(num1, num2)
+        frac = (-fr[0] / x, -fr[1] / x)
+        for j in range(p):
+            if j == 2 * k:
+                continue
+            xj, yj = root_re[j], root_im[j]
+            t1 = (xj - x, yj - y)           # r_j - r_k
+            t2 = (xj + x, y - yj)           # conj(r_j) + r_k
+            frac = _c_div(frac, _c_mul(t1, t2))
+        last_is_real = (p % 2 == 1) and (k == J - 1)
+        if not last_is_real:
+            a_list.append(2.0 * frac[0])
+            b_list.append(2.0 * frac[1])
+            c_list.append(-x)
+            d_list.append(-y)
+        else:
+            a_list.append(frac[0])
+            b_list.append(jnp.zeros_like(frac[0]))
+            c_list.append(-x)
+            d_list.append(jnp.zeros_like(x))
+
+    a = jnp.stack(a_list)
+    b = jnp.stack(b_list)
+    c = jnp.stack(c_list)
+    d = jnp.stack(d_list)
+    variance = jnp.sum(a)
+    va = jnp.asarray(norm)
+    if is_integrated_power:
+        va = va / variance
+    return a * va, b * va, c, d
+
+
+def carma_psd_real(f, p: int, q: int, root_re, root_im, beta, norm=1.0,
+                   is_integrated_power: bool = True):
+    """CARMA PSD in real arithmetic (TPU analog of :func:`carma_psd`).
+
+    |B(2 pi i f)|^2 / |A(2 pi i f)|^2 with A rebuilt from the conjugate
+    pairs via :func:`poly_from_conjugate_pairs` — evaluated at purely
+    imaginary points, so Horner runs on (re, im) pairs of real arrays.
+    """
+    f = jnp.asarray(f)
+    w = 2.0 * jnp.pi * f
+    pairs_re = [root_re[2 * k] for k in range(p // 2)]
+    pairs_im = [root_im[2 * k] for k in range(p // 2)]
+    reals = [root_re[p - 1]] if p % 2 == 1 else []
+    alpha = poly_from_conjugate_pairs(pairs_re, pairs_im, reals)
+    zero = jnp.zeros_like(w)
+    nre, nim = _c_polyval(beta, (zero, w))
+    dre, dim_ = _c_polyval(alpha, (zero, w))
+    ratio2 = (nre * nre + nim * nim) / (dre * dre + dim_ * dim_)
+    if is_integrated_power:
+        a, _, _, _ = carma_celerite_coefs_real(
+            p, root_re, root_im, beta, 1.0, False)
+        # sum(a) = 2 x the process normalisation integral, so the
+        # complex path's 2 ratio2 norm / normalisation becomes 4 / sum(a)
+        return 4.0 * ratio2 * jnp.asarray(norm) / jnp.sum(a)
+    return 4.0 * ratio2 * jnp.asarray(norm)
 
 
 def roots2coeffs(r):
