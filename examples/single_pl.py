@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("data")
-    ap.add_argument("--sampler", default="smc", choices=["smc", "nuts", "chees"])
+    ap.add_argument("--sampler", default="ns", choices=["ns", "smc", "nuts", "chees", "advi"])
     ap.add_argument("--particles", type=int, default=2048)
     ap.add_argument("--chains", type=int, default=16)
     ap.add_argument("--warmup", type=int, default=500)
