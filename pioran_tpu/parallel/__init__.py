@@ -16,11 +16,18 @@ multi-host pods; everything below is host-count agnostic.
 """
 
 from .mesh import make_mesh, local_chain_count
-from .sharded import run_nuts_sharded, run_smc_sharded
+from .sharded import (
+    run_nuts_sharded,
+    run_smc_sharded,
+    run_ns_sharded,
+    sharded_batched_fn,
+)
 
 __all__ = [
     "make_mesh",
     "local_chain_count",
     "run_nuts_sharded",
     "run_smc_sharded",
+    "run_ns_sharded",
+    "sharded_batched_fn",
 ]

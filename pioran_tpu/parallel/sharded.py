@@ -14,7 +14,58 @@ from jax import shard_map
 from ..samplers.nuts import run_nuts
 from ..samplers.smc import SMCResult, _find_dlambda, systematic_resample
 
-__all__ = ["run_nuts_sharded", "run_smc_sharded"]
+__all__ = ["run_nuts_sharded", "run_smc_sharded", "run_ns_sharded",
+           "sharded_batched_fn"]
+
+
+def sharded_batched_fn(batch_fn: Callable, mesh: Mesh, axis_name: str):
+    """Shard a (B, ...) -> (B,) batched function's batch axis over the mesh.
+
+    The returned function runs ``batch_fn`` on each device's slice via
+    ``shard_map`` — the TPU-native analog of ultranest farming likelihood
+    batches over MPI ranks (SURVEY §2.6 "particle axis"): compute stays
+    local, the caller's reductions become XLA collectives. B must be
+    divisible by the mesh axis size.
+    """
+    f = shard_map(
+        batch_fn, mesh=mesh,
+        in_specs=P(axis_name), out_specs=P(axis_name),
+        check_vma=False,
+    )
+
+    def wrapped(U):
+        return f(U)
+
+    return wrapped
+
+
+def run_ns_sharded(
+    loglike_u_batch: Callable,
+    key,
+    mesh: Mesh,
+    axis_name: str = "particles",
+    **ns_kwargs,
+):
+    """Nested sampling with the likelihood sweeps sharded over the mesh.
+
+    Nested sampling's control flow (sorting K scalars, evidence
+    bookkeeping) is trivially cheap; ALL the cost is the batched
+    likelihood sweeps of width ``n_delete``. So the multi-device design
+    shards exactly that: ``run_ns`` runs as one replicated program whose
+    sweeps fan out over the ``axis_name`` mesh axis — the direct
+    TPU-native replacement for ultranest's MPI worker farm (reference
+    examples/ultranest/single_pl.jl:19-21, docs/src/ultranest.md:45-66).
+    ``n_delete`` (and ``num_live``) must be divisible by the axis size.
+    """
+    from ..samplers.ns import run_ns
+
+    n_dev = mesh.shape[axis_name]
+    n_delete = ns_kwargs.get("n_delete", 128)
+    if n_delete % n_dev != 0:
+        raise ValueError(
+            f"n_delete={n_delete} not divisible by {n_dev} devices")
+    sharded_ll = sharded_batched_fn(loglike_u_batch, mesh, axis_name)
+    return run_ns(sharded_ll, key, **ns_kwargs)
 
 
 def run_nuts_sharded(

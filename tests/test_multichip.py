@@ -9,7 +9,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from pioran_tpu.parallel import make_mesh, run_nuts_sharded, run_smc_sharded
+from pioran_tpu.parallel import (
+    make_mesh, run_nuts_sharded, run_ns_sharded, run_smc_sharded,
+)
 from pioran_tpu.samplers.smc import run_smc
 
 
@@ -57,6 +59,42 @@ def test_smc_sharded_matches_single_device(mesh):
     # against the single-device implementation
     res1 = run_smc(loglike, logprior, p0, jax.random.PRNGKey(1))
     assert abs(float(res.logZ) - float(res1.logZ)) < 0.2
+
+
+def test_ns_sharded_matches_analytic(mesh):
+    """Nested sampling with likelihood sweeps sharded over 8 devices:
+    same Gaussian-evidence oracle as tests/test_ns.py."""
+    from pioran_tpu.samplers.ns import run_ns
+
+    d, s = 4, 0.05
+    def loglike_u_batch(U):
+        return -0.5 * jnp.sum((U - 0.5) ** 2, axis=-1) / s**2
+
+    logz_true = d * np.log(s * np.sqrt(2 * np.pi))
+    mesh_p = make_mesh("particles")
+    res = run_ns_sharded(
+        loglike_u_batch, jax.random.PRNGKey(0), mesh_p,
+        num_live=512, dim=d, n_delete=64, num_mcmc=6,
+        max_iters=400, frac_remain=1e-3,
+    )
+    err = float(res.logZ_err)
+    assert abs(float(res.logZ) - logz_true) < 3 * max(err, 0.1)
+    # same seed, single device: identical shrinkage schedule, logZ close
+    res1 = run_ns(
+        loglike_u_batch, jax.random.PRNGKey(0),
+        num_live=512, dim=d, n_delete=64, num_mcmc=6,
+        max_iters=400, frac_remain=1e-3,
+    )
+    assert abs(float(res.logZ) - float(res1.logZ)) < 3 * err
+
+
+def test_ns_sharded_rejects_indivisible(mesh):
+    mesh_p = make_mesh("particles")
+    with pytest.raises(ValueError):
+        run_ns_sharded(
+            lambda U: jnp.zeros(U.shape[0]), jax.random.PRNGKey(0),
+            mesh_p, num_live=512, dim=2, n_delete=12,
+        )
 
 
 def test_sharded_gp_likelihood_chains(mesh, simu_log_data):
