@@ -495,12 +495,22 @@ def run_inference(
                 return jax.vmap(lambda u: spec.loglike(prior.transform(u)))(U)
         k1, k2 = jax.random.split(key)
         n_delete = max(num_particles // 8, 1)
-        res = run_ns(
-            loglike_u_batch, k1, num_live=num_particles, dim=dim,
-            n_delete=n_delete, num_mcmc=num_ns_mcmc, move=ns_move,
+        ns_kwargs = dict(
+            num_live=num_particles, dim=dim, n_delete=n_delete,
+            num_mcmc=num_ns_mcmc, move=ns_move,
             max_iters=max(8 * num_particles // n_delete, 400),
             frac_remain=frac_remain,
         )
+        if resume and log_dir:
+            from .samplers.ns import run_ns_resumable
+
+            res = run_ns_resumable(
+                loglike_u_batch, k1,
+                checkpoint_dir=os.path.join(log_dir, "checkpoints"),
+                **ns_kwargs,
+            )
+        else:
+            res = run_ns(loglike_u_batch, k1, **ns_kwargs)
         n_eq = max(num_samples * 4, 4000)
         idx = equal_weight_indices(
             k2, res.dead_logl, res.dead_logw, res.num_dead, n_eq

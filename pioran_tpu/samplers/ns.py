@@ -42,9 +42,11 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-__all__ = ["NSResult", "run_ns", "ns_init", "equal_weight_indices"]
+__all__ = ["NSResult", "run_ns", "run_ns_resumable", "ns_init",
+           "equal_weight_indices"]
 
 
 class NSResult(NamedTuple):
@@ -123,7 +125,6 @@ def run_ns(
     """
     dtype = jnp.result_type(float)
     K, D = num_live, n_delete
-    max_dead = max_iters * D + K  # dead rows + the final live set
 
     if live_init is None:
         k_init, key = jax.random.split(key)
@@ -134,11 +135,47 @@ def run_ns(
         live_u = live_u.astype(dtype)
         live_logl = live_logl.astype(dtype)
 
-    # dead buffers (fixed shape, filled D rows per iteration)
+    step = _make_ns_step(
+        loglike_u_batch, K, D, dim, dtype, num_mcmc, move, n_expand,
+        n_shrink, max_iters,
+    )
+
+    def cond(state):
+        live_logl, logX, logZ, it = state[1], state[2], state[3], state[4]
+        logZ_live = (
+            jax.scipy.special.logsumexp(live_logl) - jnp.log(K) + logX
+        )
+        not_done = logZ_live - logZ > jnp.log(frac_remain)
+        return (it < max_iters) & (not_done | (it == 0))
+
+    state = _ns_init_state(live_u, live_logl, key, K, D, dim, dtype,
+                           max_iters, move)
+    state = lax.while_loop(cond, step, state)
+    return _ns_finalize(state, K, D)
+
+
+def _ns_init_state(live_u, live_logl, key, K, D, dim, dtype, max_iters,
+                   move):
+    """Initial NS state tuple (a checkpointable pytree)."""
+    max_dead = max_iters * D + K  # dead rows + the final live set
     dead_u0 = jnp.zeros((max_dead, dim), dtype)
     dead_logl0 = jnp.full((max_dead,), -jnp.inf, dtype)
     dead_logw0 = jnp.full((max_dead,), -jnp.inf, dtype)
+    scale0 = jnp.asarray(
+        1.0 if move == "slice" else 2.0 / jnp.sqrt(jnp.asarray(dim, dtype)),
+        dtype)
+    return (
+        live_u, live_logl, jnp.zeros((), dtype),
+        jnp.asarray(-jnp.inf, dtype),
+        jnp.zeros((), jnp.int32), key, dead_u0, dead_logl0, dead_logw0,
+        scale0, jnp.zeros((), dtype), jnp.asarray(K, jnp.int64 if
+        jnp.result_type(int) == jnp.int64 else jnp.int32),
+    )
 
+
+def _make_ns_step(loglike_u_batch, K, D, dim, dtype, num_mcmc, move,
+                  n_expand, n_shrink, max_iters):
+    """One NS iteration as a pure state -> state function."""
     # Exact expected shrinkage for batched deletion: the i-th deletion
     # within a batch removes the worst of K-i+1 uniform points, so
     # E[ln t_i] = -1/(K-i+1); after j deletions ln x_j = -(H_K - H_{K-j}).
@@ -151,7 +188,6 @@ def run_ns(
     logw_step = jnp.asarray(
         _np.log(_np.exp(lnx[:-1]) - _np.exp(lnx[1:])), dtype)
     dlogX = float(lnx[D])
-    neg_inf = jnp.asarray(-jnp.inf, dtype)
 
     def logaddexp(a, b):
         return jnp.logaddexp(a, b)
@@ -280,26 +316,15 @@ def run_ns(
         return (live_u, live_logl, logX, logZ, it + 1, key,
                 dead_u, dead_logl, dead_logw, scale, acc_rate, ncall)
 
-    def cond(state):
-        live_logl, logX, logZ, it = state[1], state[2], state[3], state[4]
-        logZ_live = (
-            jax.scipy.special.logsumexp(live_logl) - jnp.log(K) + logX
-        )
-        not_done = logZ_live - logZ > jnp.log(frac_remain)
-        return (it < max_iters) & (not_done | (it == 0))
+    return step
 
-    scale0 = jnp.asarray(
-        1.0 if move == "slice" else 2.0 / jnp.sqrt(jnp.asarray(dim, dtype)),
-        dtype)
-    state = (
-        live_u, live_logl, jnp.zeros((), dtype), neg_inf,
-        jnp.zeros((), jnp.int32), key, dead_u0, dead_logl0, dead_logw0,
-        scale0, jnp.zeros((), dtype), jnp.asarray(K, jnp.int64 if
-        jnp.result_type(int) == jnp.int64 else jnp.int32),
-    )
-    state = lax.while_loop(cond, step, state)
+
+def _ns_finalize(state, K, D) -> NSResult:
+    """Fold the final live set into the evidence and build the result."""
     (live_u, live_logl, logX, logZ, it, key,
      dead_u, dead_logl, dead_logw, scale, acc_rate, ncall) = state
+    dtype = live_logl.dtype
+    max_dead = dead_logl.shape[0]
 
     # ---- fold the final live set into the evidence (Skilling 2006) ----
     # each of the K survivors carries weight X_final / K
@@ -307,7 +332,7 @@ def run_ns(
     live_u_s = live_u[order]
     live_logl_s = live_logl[order]
     live_logw = jnp.full((K,), logX - jnp.log(K), dtype)
-    logZ_final = logaddexp(
+    logZ_final = jnp.logaddexp(
         logZ, jax.scipy.special.logsumexp(live_logw + live_logl_s)
     )
 
@@ -336,6 +361,76 @@ def run_ns(
         ncall=ncall, acceptance=acc_rate,
         logl_max=jnp.max(live_logl),
     )
+
+
+def run_ns_resumable(
+    loglike_u_batch: Callable,
+    key,
+    checkpoint_dir: str,
+    num_live: int = 1024,
+    dim: int = 1,
+    n_delete: int = 128,
+    num_mcmc: int = 8,
+    max_iters: int = 2000,
+    frac_remain: float = 1e-2,
+    move: str = "slice",
+    n_expand: int = 4,
+    n_shrink: int = 8,
+    save_every: int = 5,
+    max_to_keep: int = 2,
+) -> NSResult:
+    """:func:`run_ns` with orbax checkpoint/resume — the analog of
+    ultranest's ``resume = true`` (reference
+    examples/ultranest/single_pl.jl:116, state in
+    inference/*/results/points.hdf5).
+
+    The iteration loop runs on the host, one jitted NS step at a time;
+    every ``save_every`` steps the full sampler state (live set, dead
+    buffers, evidence, PRNG key) is written atomically to
+    ``checkpoint_dir``. Re-running with the same directory resumes from
+    the last finalized step. Host-loop overhead is negligible: each step
+    costs ``num_mcmc`` constrained-walk updates of ``n_delete`` batched
+    likelihood sweeps on device.
+    """
+    from ..checkpoint import CheckpointManager
+
+    dtype = jnp.result_type(float)
+    K, D = num_live, n_delete
+    mgr = CheckpointManager(checkpoint_dir, max_to_keep=max_to_keep,
+                            save_every=save_every)
+
+    k_init, key = jax.random.split(key)
+    live_u = jax.random.uniform(k_init, (K, dim), dtype)
+    live_logl = loglike_u_batch(live_u)
+    state = _ns_init_state(live_u, live_logl, key, K, D, dim, dtype,
+                           max_iters, move)
+
+    restored = mgr.restore(abstract_state=state)
+    if restored is not None:
+        state = jax.tree.map(
+            lambda tpl, cur: jnp.asarray(tpl, getattr(cur, "dtype", None)),
+            restored[0], state,
+        )
+
+    step = jax.jit(_make_ns_step(
+        loglike_u_batch, K, D, dim, dtype, num_mcmc, move, n_expand,
+        n_shrink, max_iters,
+    ))
+
+    def remaining(state):
+        live_logl, logX, logZ = state[1], state[2], state[3]
+        logZ_live = float(
+            jax.scipy.special.logsumexp(live_logl) - jnp.log(K) + logX
+        )
+        return logZ_live - float(logZ)
+
+    it = int(state[4])
+    while it < max_iters and (it == 0 or remaining(state) > np.log(frac_remain)):
+        state = step(state)
+        it = int(state[4])
+        mgr.save(jax.tree.map(lambda x: x, state), it)
+
+    return _ns_finalize(state, K, D)
 
 
 def equal_weight_indices(key, dead_logl, dead_logw, num_dead, num_samples):

@@ -81,6 +81,47 @@ def test_ns_rwm_move_also_converges():
     assert int(res.ncall) == 512 + int(res.num_iters) * 64 * 24
 
 
+def test_ns_resumable_matches_and_resumes(tmp_path):
+    """Same PRNG path => run_ns_resumable reproduces run_ns exactly,
+    and restarting from a mid-run checkpoint completes to the same
+    result (the ultranest ``resume = true`` analog)."""
+    from pioran_tpu.samplers.ns import (
+        _make_ns_step, _ns_init_state, run_ns_resumable,
+    )
+    from pioran_tpu.checkpoint import CheckpointManager
+
+    key = jax.random.PRNGKey(4)
+    kwargs = dict(num_live=128, dim=DIM, n_delete=16, num_mcmc=4,
+                  max_iters=300, frac_remain=1e-2)
+    ref = run_ns(_loglike, key, **kwargs)
+
+    d = str(tmp_path / "ns")
+    res = run_ns_resumable(_loglike, key, d, **kwargs)
+    np.testing.assert_allclose(float(res.logZ), float(ref.logZ), rtol=1e-10)
+    assert int(res.num_iters) == int(ref.num_iters)
+
+    # simulate an interrupted run: save only a step-2 checkpoint
+    d2 = str(tmp_path / "ns2")
+    mgr = CheckpointManager(d2, max_to_keep=4, save_every=1)
+    dtype = jnp.result_type(float)
+    k_init, k_rest = jax.random.split(key)
+    live_u = jax.random.uniform(k_init, (128, DIM), dtype)
+    st = _ns_init_state(live_u, _loglike(live_u), k_rest, 128, 16, DIM,
+                        dtype, 300, "slice")
+    step = jax.jit(_make_ns_step(_loglike, 128, 16, DIM, dtype, 4,
+                                 "slice", 4, 8, 300))
+    st = step(step(st))
+    mgr.save(st, int(st[4]))
+
+    res2 = run_ns_resumable(_loglike, key, d2, **kwargs)
+    np.testing.assert_allclose(float(res2.logZ), float(ref.logZ), rtol=1e-10)
+    idx = np.asarray(equal_weight_indices(
+        jax.random.PRNGKey(0), res2.dead_logl, res2.dead_logw,
+        res2.num_dead, 1000))
+    U = np.asarray(res2.dead_u)[idx]
+    assert np.allclose(U.mean(axis=0), 0.5, atol=0.02)
+
+
 def test_equal_weight_excludes_padding():
     # indices must never point past num_dead
     res = run_ns(
