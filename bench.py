@@ -7,7 +7,7 @@ Prints ONE JSON line:
 The measured op is the full per-sampler-call chain of the reference
 (reference examples/ultranest/single_pl.jl:65-93): PSD construction +
 basis approximation (J=20 SHO) + O(N) celerite log-likelihood on the
-bundled 489-point light curve, vmapped over a 1024-chain batch — i.e.
+bundled 489-point light curve, vmapped over a 4096-chain batch — i.e.
 what one chip contributes to an SMC/MCMC sweep.
 
 ``vs_baseline`` compares against the reference's single-threaded Julia
@@ -84,7 +84,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # --- device path: 1024-chain batch, Pallas kernel on TPU ---
+    # --- device path: 4096-chain batch, Pallas kernel on TPU ---
     loglike, loglike_batch, p = _build("f32")
     # B=4096 amortizes the per-sweep pipeline overhead best on v5e
     # (measured: 1024 -> 279k evals/s, 4096 -> 303k evals/s)

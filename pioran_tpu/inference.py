@@ -533,6 +533,8 @@ def run_inference(
             "insertion_order_converged": bool(res.num_iters < 8 * num_particles // n_delete),
         }
     elif sampler in ("nuts", "chees"):
+        from .utils.mcmc_stats import summarize_chains
+
         if sampler == "nuts":
             from .samplers.nuts import run_nuts
 
@@ -546,7 +548,15 @@ def run_inference(
                     num_warmup=num_warmup, num_samples=num_samples,
                 )
             )(z0, keys[1:])
+            # (C, S, dim): per-chain draws for rhat/ess
+            chains_z = np.asarray(samples_z)
             samples_z = samples_z.reshape(-1, samples_z.shape[-1])
+            # a depth-d NUTS tree costs 2^d - 1 new leapfrogs, each one
+            # gradient evaluation (warmup + sampling both count)
+            ncall = int(
+                (2 ** np.asarray(stats["depth"], np.int64) - 1).sum()
+                + (2 ** np.asarray(stats["warmup_depth"], np.int64) - 1).sum()
+            )
         else:
             from .samplers.chees import run_chees
 
@@ -566,9 +576,26 @@ def run_inference(
                 num_warmup=num_warmup, num_samples=num_samples,
                 logp_batch_fn=logpost_batch,
             )
+            # (S, C, dim) -> (C, S, dim)
+            chains_z = np.asarray(samples_z).transpose(1, 0, 2)
             samples_z = samples_z.reshape(-1, samples_z.shape[-1])
+            # every leapfrog evaluates value+gradient for all chains
+            ncall = int(np.asarray(stats["n_leapfrogs"], np.int64).sum()
+                        * num_chains)
         theta = np.asarray(jax.vmap(prior.from_unconstrained)(samples_z))
-        extra = {"ncall": int(num_chains * (num_warmup + num_samples))}
+        # convergence diagnostics in the reporting (theta) space
+        chains_th = np.asarray(
+            jax.vmap(jax.vmap(prior.from_unconstrained))(jnp.asarray(chains_z))
+        )
+        conv = summarize_chains(chains_th)
+        ess_b = np.asarray(conv["ess_bulk"], np.float64)
+        extra = {
+            "ncall": ncall,
+            "rhat": conv["rhat"],
+            "ess_bulk": conv["ess_bulk"],
+            "ess_tail": conv["ess_tail"],
+            "ess": float(np.nanmin(ess_b)),
+        }
     elif sampler == "advi":
         from .samplers.advi import run_advi
 
@@ -609,6 +636,8 @@ def run_inference(
         },
         **extra,
     }
+    if "ess" in results and elapsed > 0:
+        results["ess_per_s"] = float(results["ess"]) / elapsed
 
     if log_dir:
         os.makedirs(os.path.join(log_dir, "chains"), exist_ok=True)

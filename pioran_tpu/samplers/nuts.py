@@ -393,7 +393,8 @@ def run_nuts(
         da, inv_mass, mean, m2, wcount = lax.cond(
             do_update, refresh, lambda a: a, (da, inv_mass, mean, m2, wcount)
         )
-        return (z, logp, grad, key, da, inv_mass, mean, m2, wcount), stats["diverging"]
+        return (z, logp, grad, key, da, inv_mass, mean, m2, wcount), (
+            stats["diverging"], stats["depth"])
 
     da0 = _da_init(jnp.asarray(initial_step_size, dtype))
     inv_mass0 = jnp.ones((dim,), dtype)
@@ -401,7 +402,7 @@ def run_nuts(
         z0, logp0, grad0, key, da0, inv_mass0,
         jnp.zeros((dim,), dtype), jnp.zeros((dim,), dtype), jnp.zeros((), dtype),
     )
-    carry, warm_div = lax.scan(warm_step, carry, update_mass)
+    carry, (warm_div, warm_depth) = lax.scan(warm_step, carry, update_mass)
     z, logp, grad, key, da, inv_mass, *_ = carry
     step_size = jnp.exp(da.log_step_avg)
 
@@ -426,5 +427,6 @@ def run_nuts(
         "step_size": step_size,
         "inv_mass": inv_mass,
         "warmup_diverging": warm_div,
+        "warmup_depth": warm_depth,
     }
     return samples, stats

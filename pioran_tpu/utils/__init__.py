@@ -4,6 +4,7 @@ from .roots import (
     check_roots_bounds,
     roots_valid_jit,
 )
+from .mcmc_stats import ess_bulk, ess_tail, split_rhat, summarize_chains
 from .samples import makelist_namessplit, separate_samples
 from .subset import extract_subset
 
@@ -15,4 +16,8 @@ __all__ = [
     "extract_subset",
     "separate_samples",
     "makelist_namessplit",
+    "split_rhat",
+    "ess_bulk",
+    "ess_tail",
+    "summarize_chains",
 ]

@@ -22,6 +22,22 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite is compile-dominated (~190
+# jitted programs); a warm cache cuts wall time by an order of magnitude.
+_cache_dir = os.environ.get(
+    "PIORAN_TPU_COMPILE_CACHE",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+# Numerics hardening (SURVEY §5 sanitizers row): run the suite with
+# PIORAN_TPU_DEBUG_NANS=1 to make every NaN produced inside jit raise
+# immediately (jax's debug-nans mode, the JAX analog of -ffpe-trap).
+if os.environ.get("PIORAN_TPU_DEBUG_NANS"):
+    jax.config.update("jax_debug_nans", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

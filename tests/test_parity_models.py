@@ -121,3 +121,8 @@ def test_periodic_rednoise_ns_evidence(periodic):
                         num_particles=1024)
     assert abs(res["logz"] - stored["logz"]) < 1.5, (res["logz"],
                                                      stored["logz"])
+    ours = np.asarray(res["posterior"]["mean"])[np.argsort(PERIODIC_PERM)]
+    ref_mean = np.asarray(stored["posterior"]["mean"])
+    ref_std = np.asarray(stored["posterior"]["stdev"])
+    pull = np.abs(ours - ref_mean) / ref_std
+    assert np.all(pull < 1.0), (ours, ref_mean, pull)
