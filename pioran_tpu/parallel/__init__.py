@@ -15,8 +15,15 @@ Use `jax.distributed.initialize()` before building the mesh on real
 multi-host pods; everything below is host-count agnostic.
 """
 
-from .mesh import make_mesh, local_chain_count
+from .mesh import (
+    host_local_to_global,
+    initialize_distributed,
+    local_chain_count,
+    make_mesh,
+    make_mesh_2d,
+)
 from .sharded import (
+    run_chees_sharded,
     run_nuts_sharded,
     run_smc_sharded,
     run_ns_sharded,
@@ -25,7 +32,11 @@ from .sharded import (
 
 __all__ = [
     "make_mesh",
+    "make_mesh_2d",
     "local_chain_count",
+    "initialize_distributed",
+    "host_local_to_global",
+    "run_chees_sharded",
     "run_nuts_sharded",
     "run_smc_sharded",
     "run_ns_sharded",

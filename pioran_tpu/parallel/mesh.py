@@ -1,30 +1,70 @@
-"""Device-mesh helpers."""
+"""Device-mesh and multi-host process-group helpers.
+
+The reference's distributed story is multi-process on CPU: `julia -p 6`
++ `pmap` over chains (reference examples/turing_distributed/
+single_pl.jl:1,80-81) and an MPI worker farm for ultranest likelihood
+sweeps (reference examples/ultranest/single_pl.jl:19-21). The TPU-native
+replacement is `jax.distributed` process groups + one global device mesh:
+a ("hosts", "chains") 2-D mesh whose first axis follows process
+boundaries (collectives over it ride DCN) and whose second axis is each
+host's local chips (ICI). Single-host runs collapse to a 1-D mesh.
+"""
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+import os
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-__all__ = ["make_mesh", "local_chain_count", "initialize_distributed"]
+__all__ = [
+    "make_mesh",
+    "make_mesh_2d",
+    "local_chain_count",
+    "initialize_distributed",
+    "host_local_to_global",
+]
 
 
-def initialize_distributed(**kwargs) -> None:
-    """Multi-host process-group init (no-op on single host).
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    **kwargs,
+) -> bool:
+    """Multi-host process-group init; returns True when part of a group.
 
-    Thin wrapper over ``jax.distributed.initialize`` so drivers can call
-    it unconditionally (the reference's analog is MPI.Init /
-    `julia -p N`, reference examples/ultranest/single_pl.jl:19-21).
+    With explicit arguments (or the standard JAX env vars /
+    cluster-autodetect), calls ``jax.distributed.initialize`` and lets
+    failures PROPAGATE — a misconfigured multi-host launch must die
+    loudly, not silently fall back to one process. With no configuration
+    at all this is a no-op returning False (single-process run), so
+    drivers can call it unconditionally — the analog of the reference's
+    top-of-script ``MPI.Init()`` (examples/ultranest/single_pl.jl:19-21).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        # single-process environment without coordinator config
-        pass
+    # NB: must not touch jax.process_count()/jax.devices() here — any
+    # backend query initializes XLA and jax.distributed.initialize then
+    # refuses to run. Check the distributed client state directly.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return jax.process_count() > 1  # already initialized
+    explicit = coordinator_address is not None or num_processes is not None
+    env = any(
+        os.environ.get(k)
+        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+    )
+    if not (explicit or env):
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
+    return jax.process_count() > 1
 
 
 def make_mesh(
@@ -33,12 +73,45 @@ def make_mesh(
 ) -> Mesh:
     """A 1-D mesh over all (or the given) devices.
 
-    One axis is the right shape for this workload: chains/particles are
-    embarrassingly parallel, so the mesh axis carries them and the only
-    collectives are warmup pooling and evidence reductions (SURVEY §2.6).
+    One axis is the right shape for single-host workloads:
+    chains/particles are embarrassingly parallel, so the mesh axis
+    carries them and the only collectives are warmup pooling and
+    evidence reductions (SURVEY §2.6).
     """
     devices = list(jax.devices()) if devices is None else list(devices)
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_mesh_2d(
+    axis_names: Tuple[str, str] = ("hosts", "chains"),
+) -> Mesh:
+    """The ("hosts", "chains") mesh of SURVEY §2.6/M4.
+
+    Rows follow process boundaries: row h holds process h's local
+    devices, so collectives over ``axis_names[0]`` cross hosts (DCN)
+    and collectives over ``axis_names[1]`` stay on-host (ICI). Works
+    single-process too (1 x n_devices). Requires every process to
+    contribute the same number of local devices.
+    """
+    n_proc = jax.process_count()
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    if len(devs) % n_proc != 0:
+        raise ValueError(
+            f"{len(devs)} devices not divisible by {n_proc} processes")
+    grid = np.asarray(devs).reshape(n_proc, len(devs) // n_proc)
+    return Mesh(grid, axis_names)
+
+
+def host_local_to_global(mesh: Mesh, spec: PartitionSpec, local_array):
+    """Assemble a global sharded array from per-process local shards.
+
+    Each process passes its own slice of the leading (sharded) axis;
+    the result is one global jax.Array laid out per ``spec`` on
+    ``mesh`` — the hand-off point between host-side numpy and the
+    SPMD program (the analog of scattering work to MPI ranks).
+    """
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(local_array))
 
 
 def local_chain_count(total_chains: int, mesh: Mesh, axis_name: str = "chains") -> int:

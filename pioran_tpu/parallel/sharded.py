@@ -15,7 +15,18 @@ from ..samplers.nuts import run_nuts
 from ..samplers.smc import SMCResult, _find_dlambda, systematic_resample
 
 __all__ = ["run_nuts_sharded", "run_smc_sharded", "run_ns_sharded",
-           "sharded_batched_fn"]
+           "run_chees_sharded", "sharded_batched_fn"]
+
+
+def _axis_size(mesh: Mesh, axis_name) -> int:
+    """Mesh-axis size; accepts a single axis name or a tuple of names
+    (a tuple shards over the product of the axes, e.g. ("hosts","chains"))."""
+    if isinstance(axis_name, (tuple, list)):
+        n = 1
+        for a in axis_name:
+            n *= mesh.shape[a]
+        return n
+    return mesh.shape[axis_name]
 
 
 def sharded_batched_fn(batch_fn: Callable, mesh: Mesh, axis_name: str):
@@ -59,13 +70,44 @@ def run_ns_sharded(
     """
     from ..samplers.ns import run_ns
 
-    n_dev = mesh.shape[axis_name]
+    n_dev = _axis_size(mesh, axis_name)
     n_delete = ns_kwargs.get("n_delete", 128)
     if n_delete % n_dev != 0:
         raise ValueError(
             f"n_delete={n_delete} not divisible by {n_dev} devices")
     sharded_ll = sharded_batched_fn(loglike_u_batch, mesh, axis_name)
     return run_ns(sharded_ll, key, **ns_kwargs)
+
+
+def run_chees_sharded(
+    logp_fn: Callable,
+    z0,
+    key,
+    mesh: Mesh,
+    axis_name: str = "chains",
+    **chees_kwargs,
+):
+    """ChEES-HMC with the chain axis sharded over the mesh (GSPMD style).
+
+    ChEES is batch-first by design (samplers/chees.py:10-14): every
+    cross-chain adaptation statistic is a plain mean over the leading
+    chains axis. So the idiomatic TPU scale-out is NOT shard_map but
+    GSPMD: lay ``z0`` out as ``P(axis_name)`` on the mesh and jit — XLA
+    partitions the leapfrog batch and inserts `all-reduce`s for the
+    ChEES/step-size/mass statistics over ICI/DCN automatically.
+
+    ``z0``: (C, dim) with C divisible by the mesh axis size. Works with
+    a 1-D mesh or the ("hosts","chains") 2-D mesh (pass
+    ``axis_name=("hosts", "chains")`` to shard C over both axes).
+    Returns (samples, stats) with samples sharded the same way.
+    """
+    from ..samplers.chees import run_chees
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, P(axis_name))
+    z0 = jax.device_put(z0, sharding)
+    key = jax.device_put(key, NamedSharding(mesh, P()))
+    return run_chees(logp_fn, z0, key, **chees_kwargs)
 
 
 def run_nuts_sharded(
@@ -127,7 +169,7 @@ def run_smc_sharded(
     """
     N, dim = particles0.shape
     dtype = particles0.dtype
-    n_dev = mesh.shape[axis_name]
+    n_dev = _axis_size(mesh, axis_name)
     if N % n_dev != 0:
         raise ValueError(f"N={N} not divisible by {n_dev} devices")
     scale0 = 2.38 / jnp.sqrt(jnp.asarray(dim, dtype))
