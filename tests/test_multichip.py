@@ -118,3 +118,45 @@ def test_sharded_gp_likelihood_chains(mesh, simu_log_data):
     out = jax.jit(jax.vmap(loglike))(P16_sharded)
     ref = jax.jit(jax.vmap(loglike))(P16)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-12)
+
+
+def test_seq_axis_blockwise_scan_long_n():
+    """Sequence-axis scale-out (SURVEY §2.6 row 4): the blockwise
+    celerite factorization with ppermute carry hand-off across 8
+    devices must reproduce the single-device scan bit-for-bit-ish at
+    N=2^15 — the long-N regime where per-chip memory becomes the cap."""
+    from pioran_tpu.parallel.mesh import make_mesh
+    from pioran_tpu.parallel.seq_scan import logl_seq_sharded
+    from pioran_tpu.ops import celerite as cel
+
+    rng = np.random.default_rng(0)
+    N = 2**15
+    t = jnp.asarray(np.sort(rng.uniform(0, 1000.0, N)))
+    y = jnp.asarray(rng.normal(size=N))
+    s2 = jnp.asarray(0.1 + 0.05 * rng.uniform(size=N))
+    J = 8
+    a = jnp.asarray(0.5 + rng.uniform(size=J))
+    b = jnp.asarray(0.1 * rng.uniform(size=J))
+    c = jnp.asarray(0.05 + 0.2 * rng.uniform(size=J))
+    d = jnp.asarray(0.3 * rng.uniform(size=J))
+
+    mesh = make_mesh("seq")
+    ll_sharded = float(
+        jax.jit(lambda *args: logl_seq_sharded(*args, mesh=mesh))(
+            a, b, c, d, t, y, s2
+        )
+    )
+    ll_ref = float(jax.jit(cel.logl)(a, b, c, d, t, y, s2))
+    assert abs(ll_sharded - ll_ref) < 1e-6 * abs(ll_ref)
+
+
+def test_seq_axis_rejects_indivisible():
+    from pioran_tpu.parallel.mesh import make_mesh
+    from pioran_tpu.parallel.seq_scan import logl_seq_sharded
+
+    mesh = make_mesh("seq")
+    N = 100  # not divisible by 8
+    t = jnp.linspace(0.0, 1.0, N)
+    one = jnp.ones((2,))
+    with pytest.raises(ValueError):
+        logl_seq_sharded(one, one, one, one, t, t, t, mesh=mesh)
