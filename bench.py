@@ -106,11 +106,33 @@ def main():
         jax.config.update("jax_enable_x64", False)
     baseline_evals_per_s = 1.0 / dt1
 
+    # --- ESS/s on a flagship ChEES run (the BASELINE.md north star) ---
+    # guarded: the headline metric must survive a sampler hiccup
+    extra = {}
+    try:
+        from pioran_tpu.inference import run_inference, single_bending_model
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        A = np.loadtxt(os.path.join(here, "tests", "data", "simu.txt"))
+        xbar = float(np.mean(np.log(A[:, 1])))
+        va = float(np.var(np.log(A[:, 1])))
+        spec = single_bending_model(A[:, 0], A[:, 1], A[:, 2], xbar, va)
+        res = run_inference(
+            spec, sampler="chees", key=jax.random.PRNGKey(1),
+            num_chains=256, num_warmup=300, num_samples=500,
+        )
+        extra["ess_per_s"] = round(res["ess_per_s"], 1)
+        extra["min_ess"] = round(res["ess"], 1)
+        extra["max_rhat"] = round(max(res["rhat"]), 4)
+    except Exception as e:  # noqa: BLE001 - keep the headline metric alive
+        extra["ess_per_s_error"] = type(e).__name__
+
     print(json.dumps({
         "metric": "gp_loglike_evals_per_s_per_chip",
         "value": round(evals_per_s, 1),
         "unit": f"evals/s (N=489, J=20, batch={batch}, f32)",
         "vs_baseline": round(evals_per_s / baseline_evals_per_s, 2),
+        **extra,
     }))
 
 

@@ -31,9 +31,14 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--profile", default=None,
                     help="write a jax.profiler trace of the flagship cell")
-    ap.add_argument("--n-max-pow", type=int, default=13,
-                    help="largest N = 2^pow (reference goes to 2^16)")
+    ap.add_argument("--n-max-pow", type=int, default=16,
+                    help="largest N = 2^pow (matches the reference grid)")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--ref", default=None,
+                    help="JSON from a previous (CPU f64) run; adds an "
+                         "err_vs_ref column = |logl - logl_ref|")
+    ap.add_argument("--markdown", default=None,
+                    help="write the summary table to this markdown file")
     args = ap.parse_args()
 
     import jax
@@ -78,6 +83,13 @@ def main():
         "kalman_assoc": logl_kalman,
     }
 
+    ref_vals = {}
+    if args.ref:
+        with open(args.ref) as fh:
+            for cell in json.load(fh)["rows"]:
+                if "celerite_scan_val" in cell:
+                    ref_vals[(cell["N"], cell["J"])] = cell["celerite_scan_val"]
+
     Ns = [2**p for p in range(5, args.n_max_pow + 1)]
     Js = [2, 8, 20, 32]
     rows = []
@@ -92,47 +104,75 @@ def main():
                     val = float(jf(*prob))
                     cell[name + "_ms"] = round(dt * 1e3, 4)
                     cell[name + "_ok"] = bool(np.isfinite(val))
+                    if name == "celerite_scan":
+                        cell["celerite_scan_val"] = val
                 except Exception as e:  # noqa: BLE001 - report, keep sweeping
                     cell[name + "_ms"] = None
                     cell[name + "_ok"] = f"{type(e).__name__}"
-            # vmapped batch throughput on the scan backend (the sampler path)
-            if N <= 2048:
-                B = args.batch
-                a, b, c, d, t, y, s2 = prob
-                A = jnp.tile(a, (B, 1)) * (
-                    1 + 0.01 * jax.random.normal(jax.random.PRNGKey(0), (B, J), dtype)
+            if (N, J) in ref_vals and "celerite_scan_val" in cell:
+                cell["err_vs_ref"] = abs(
+                    cell["celerite_scan_val"] - ref_vals[(N, J)]
                 )
+                cell["relerr_vs_ref"] = cell["err_vs_ref"] / max(
+                    abs(ref_vals[(N, J)]), 1e-300
+                )
+            # vmapped batch throughput on the scan backend (the sampler
+            # path); tables are (B, N, 2J) so cap B by memory at long N
+            B = max(64, min(args.batch, (1 << 27) // max(N, 1)))
+            a, b, c, d, t, y, s2 = prob
+            A = jnp.tile(a, (B, 1)) * (
+                1 + 0.01 * jax.random.normal(jax.random.PRNGKey(0), (B, J), dtype)
+            )
+            if N <= 2048:
                 vf = jax.jit(jax.vmap(lambda aa: logl(aa, b, c, d, t, y, s2)))
                 dtb = timeit(vf, A)
                 cell["vmap_evals_per_s"] = round(B / dtb, 1)
-                # Pallas fused forward + hand-derived adjoint (TPU only)
-                if jax.default_backend() == "tpu":
-                    from pioran_tpu.ops.pallas_celerite import (
-                        batched_loglike_pallas_fused,
-                    )
-                    from pioran_tpu.ops.pallas_celerite_vjp import (
-                        value_and_grad_tables,
-                    )
+            # Pallas fused forward + hand-derived adjoint (TPU only)
+            if jax.default_backend() == "tpu":
+                from pioran_tpu.ops.pallas_celerite import (
+                    batched_loglike_pallas_fused,
+                )
+                from pioran_tpu.ops.pallas_celerite_vjp import (
+                    fits_vmem,
+                    value_and_grad_tables,
+                )
 
-                    Bc = jnp.tile(b, (B, 1))
-                    Cc = jnp.tile(c, (B, 1))
-                    Dc = jnp.tile(d, (B, 1))
-                    Y = jnp.tile(y, (B, 1))
-                    S2 = jnp.tile(s2, (B, 1))
+                Bc = jnp.tile(b, (B, 1))
+                Cc = jnp.tile(c, (B, 1))
+                Dc = jnp.tile(d, (B, 1))
+                Y = jnp.tile(y, (B, 1))
+                S2 = jnp.tile(s2, (B, 1))
+                try:
                     pf = jax.jit(lambda A: batched_loglike_pallas_fused(
                         A, Bc, Cc, Dc, t, Y, S2))
                     dtp = timeit(pf, A)
+                    cell["pallas_batch"] = B
                     cell["pallas_evals_per_s"] = round(B / dtp, 1)
-                    from pioran_tpu.ops.pallas_celerite_vjp import fits_vmem
+                    # roofline accounting for the fused kernel: the
+                    # recursion costs ~6 R^2 FLOPs/step (S update 3R^2,
+                    # S@U 2R^2, rank-1 epilogues), R = 2J; streamed HBM
+                    # bytes are the per-chain y and sigma2 rows (tables
+                    # are built in-kernel, t is shared)
+                    R = 2 * J
+                    flops = 6.0 * R * R * N * B / dtp
+                    gbs = 2.0 * B * N * 4.0 / dtp / 1e9
+                    cell["pallas_tflops"] = round(flops / 1e12, 3)
+                    cell["pallas_hbm_gbs"] = round(gbs, 2)
+                except Exception as e:  # noqa: BLE001
+                    cell["pallas_evals_per_s"] = f"{type(e).__name__}"
+                try:
                     if fits_vmem(J):
                         gf = jax.jit(lambda A: value_and_grad_tables(
                             A, Bc, Cc, Dc, t, Y, S2))
                         dtg = timeit(gf, A)
                         cell["pallas_grad_evals_per_s"] = round(B / dtg, 1)
+                except Exception as e:  # noqa: BLE001
+                    cell["pallas_grad_evals_per_s"] = f"{type(e).__name__}"
             rows.append(cell)
             print(f"N={N:6d} J={J:2d}: " + "  ".join(
-                f"{k}={cell[k]}" for k in cell if k.endswith("_ms")
-            ))
+                f"{k}={cell[k]}" for k in cell
+                if k.endswith("_ms") or k.endswith("evals_per_s")
+            ), flush=True)
 
     if args.profile:
         a, b, c, d, t, y, s2 = make_problem(4096, 20)
@@ -154,15 +194,33 @@ def main():
         print(f"wrote {args.out}")
 
     # markdown summary (J=20 column, the flagship config)
-    print("\n| N | celerite ms | kalman_seq ms | kalman_assoc ms | vmap evals/s |")
-    print("|---|---|---|---|---|")
+    lines = [
+        "| N | scan ms | kalman_assoc ms | pallas evals/s | "
+        "pallas grad evals/s | TFLOP/s | HBM GB/s | err vs f64 |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
     for cell in rows:
         if cell["J"] == 20:
-            print(
+            lines.append(
                 f"| {cell['N']} | {cell['celerite_scan_ms']} | "
-                f"{cell['kalman_seq_ms']} | {cell['kalman_assoc_ms']} | "
-                f"{cell.get('vmap_evals_per_s', '-')} |"
+                f"{cell['kalman_assoc_ms']} | "
+                f"{cell.get('pallas_evals_per_s', '-')} | "
+                f"{cell.get('pallas_grad_evals_per_s', '-')} | "
+                f"{cell.get('pallas_tflops', '-')} | "
+                f"{cell.get('pallas_hbm_gbs', '-')} | "
+                f"{cell.get('err_vs_ref', '-')} |"
             )
+    table = "\n".join(lines)
+    print("\n" + table)
+    if args.markdown:
+        with open(args.markdown, "w") as fh:
+            fh.write(
+                f"# Benchmark grid ({result['platform']}, "
+                f"{result['dtype']}, J=20 column)\n\n"
+                "Full grid (J = 2, 8, 20, 32; N = 2^5..2^%d) in the "
+                "accompanying JSON.\n\n" % args.n_max_pow + table + "\n"
+            )
+        print(f"wrote {args.markdown}")
 
 
 if __name__ == "__main__":

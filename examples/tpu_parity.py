@@ -99,6 +99,8 @@ def main():
     dev = jax.devices()[0]
     print(f"running on: {dev.platform} / {dev.device_kind}")
 
+    os.makedirs(args.out, exist_ok=True)
+    spath = os.path.join(args.out, "summary.json")
     summary = {
         "platform": dev.platform,
         "device_kind": str(dev.device_kind),
@@ -108,7 +110,12 @@ def main():
         "particles": args.particles,
         "runs": {},
     }
-    os.makedirs(args.out, exist_ok=True)
+    if os.path.exists(spath):
+        # merge: keep prior runs (datasets are run incrementally)
+        with open(spath) as fh:
+            prev = json.load(fh)
+        if prev.get("platform") == summary["platform"]:
+            summary["runs"].update(prev.get("runs", {}))
 
     for name in args.datasets.split(","):
         stored, t, y, yerr, xbar, va = load_dataset(name)
@@ -160,7 +167,7 @@ def main():
                   f"diff {entry['logz_diff']}) max_pull {entry['max_pull']:.3f}"
                   f" wall {wall:.1f}s -> {'PASS' if ok else 'FAIL'}")
 
-    with open(os.path.join(args.out, "summary.json"), "w") as fh:
+    with open(spath, "w") as fh:
         json.dump(summary, fh, indent=2)
     n_pass = sum(r["pass"] for r in summary["runs"].values())
     print(f"{n_pass}/{len(summary['runs'])} runs pass -> {args.out}/summary.json")

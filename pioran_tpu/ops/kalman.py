@@ -1,5 +1,15 @@
 """Log-depth celerite likelihood via parallel Kalman filtering.
 
+**STATUS: EXPERIMENTAL.** This backend is a correctness-complete
+log-depth formulation, but it is NOT on the production path: the
+sequential scan + Pallas kernels (ops/celerite.py, ops/pallas_celerite.py)
+beat it on throughput at every benchmarked (N, J) when vmapped over
+chains (benchmarks/grid_tpu_f32.json), and the covariance-form filter
+requires f64 for wide-dynamic-range kernels (see Precision below) — use
+it only on CPU/x64 for long-N single evaluations, or as a second oracle.
+A square-root (Cholesky-factor) associative filter would lift the f64
+restriction; until one lands this module stays experimental.
+
 The celerite LDL^T recursion (ops/celerite.py; reference
 src/celerite_solver.jl:12-106) is a Riccati-type recursion: each step's
 state depends nonlinearly on the previous step, so it cannot be fed to

@@ -1,0 +1,120 @@
+"""Validate the COMMITTED on-TPU inference artifacts against the
+reference's stored ultranest baselines.
+
+The slow end-to-end parity tests (tests/test_inference_parity.py,
+tests/test_parity_models.py) rerun nested sampling; this module checks
+the committed evidence that those gates PASS on the real chip:
+artifacts/tpu_parity/ holds results.json + equal-weighted posteriors
+produced by ``python examples/tpu_parity.py`` on a TPU v5e in f32
+(regenerate any time with that one command). Gates per dataset:
+
+- logZ within tolerance of the stored ultranest logZ
+  (reference examples/ultranest/inference/*/info/results.json)
+- every posterior-mean pull < tolerance (see the calibration note in
+  tests/test_inference_parity.py; the IS referee lives in
+  tests/tools/is_referee.py with its snapshot in
+  tests/data/simu_single/is_referee.json)
+- the artifact really came from a TPU run (platform recorded)
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+ART = os.path.join(os.path.dirname(__file__), "..", "artifacts", "tpu_parity")
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+STORED = {
+    "single": "simu_single",
+    "double": "simu_double",
+    "periodic": "simu_periodic",
+}
+
+
+@pytest.fixture(scope="module")
+def summary():
+    path = os.path.join(ART, "summary.json")
+    if not os.path.exists(path):
+        pytest.skip("no committed TPU artifacts (run examples/tpu_parity.py)")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def test_artifacts_are_from_tpu(summary):
+    assert summary["platform"] == "tpu", summary["platform"]
+    assert not summary["x64"], "parity must be proven in f32"
+
+
+@pytest.mark.parametrize("name", ["single", "double", "periodic"])
+def test_ns_parity_gates(summary, name):
+    runs = {k: v for k, v in summary["runs"].items()
+            if v["dataset"] == name and v["sampler"] == "ns"}
+    if not runs:
+        pytest.skip(f"no committed {name} NS run")
+    entry = next(iter(runs.values()))
+    assert entry["pass"], entry
+    assert abs(entry["logz_diff"]) < entry["logz_tol"], entry
+    assert entry["max_pull"] < entry["pull_tol"], entry
+    # posterior widths within a factor ~1.6 of the stored run
+    wr = np.asarray(entry["width_ratio"])
+    assert np.all((wr > 0.55) & (wr < 1.8)), wr
+
+
+@pytest.mark.parametrize("name", ["single", "double", "periodic"])
+def test_artifact_files_consistent(summary, name):
+    """The per-run results.json + posterior text file must exist and
+    agree with the summary (no hand-edited summaries)."""
+    runs = {k: v for k, v in summary["runs"].items()
+            if v["dataset"] == name and v["sampler"] == "ns"}
+    if not runs:
+        pytest.skip(f"no committed {name} NS run")
+    tag, entry = next(iter(runs.items()))
+    rpath = os.path.join(ART, tag, "info", "results.json")
+    assert os.path.exists(rpath), rpath
+    with open(rpath) as fh:
+        res = json.load(fh)
+    assert abs(res["logz"] - entry["logz"]) < 1e-6
+    post = os.path.join(ART, tag, "chains", "equal_weighted_post.txt")
+    assert os.path.exists(post), post
+    theta = np.loadtxt(post, skiprows=1)
+    # summary pulls recompute from the stored baseline + artifact moments
+    with open(os.path.join(DATA, STORED[name], "results.json")) as fh:
+        stored = json.load(fh)
+    mean = theta.mean(axis=0)
+    assert np.allclose(mean, res["posterior"]["mean"], atol=1e-5)
+    assert len(res["posterior"]["mean"]) == len(stored["posterior"]["mean"])
+
+
+def test_loglike_matches_artifact_ml_point():
+    """Recompute the likelihood at the committed run's ML point on CPU
+    f64: the artifact's logl must agree to f32 eval precision — ties the
+    committed artifacts to THIS code, not just to plausible numbers."""
+    path = os.path.join(ART, "summary.json")
+    if not os.path.exists(path):
+        pytest.skip("no committed TPU artifacts")
+    rpath = os.path.join(ART, "single_ns", "info", "results.json")
+    if not os.path.exists(rpath):
+        pytest.skip("no committed single_ns run")
+    import jax
+    import jax.numpy as jnp
+
+    from pioran_tpu.inference import single_bending_model
+
+    with open(rpath) as fh:
+        res = json.load(fh)
+    sub = np.loadtxt(
+        os.path.join(DATA, "simu_single", "simu_single_subset_time_series.txt"))
+    xbar = va = None
+    with open(os.path.join(
+            DATA, "simu_single", "simu_single_subset_time_series.txt")) as fh:
+        for line in fh:
+            if line.startswith("#mean: "):
+                left, right = line[len("#mean: "):].split(" va: ")
+                xbar, va = float(left), float(right)
+                break
+    spec = single_bending_model(sub[:, 0], sub[:, 1], sub[:, 2], xbar, va)
+    ll = float(jax.jit(spec.loglike)(jnp.asarray(res["maximum_likelihood"]["point"])))
+    assert abs(ll - res["maximum_likelihood"]["logl"]) < 0.05, (
+        ll, res["maximum_likelihood"]["logl"])
