@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--ref", default=None,
                     help="JSON from a previous (CPU f64) run; adds an "
                          "err_vs_ref column = |logl - logl_ref|")
+    ap.add_argument("--assoc-max-n", type=int, default=8192,
+                    help="skip the O(N R^3)-memory kalman_assoc backend "
+                         "above this N (it is experimental and its "
+                         "allocation footprint dominates at long N)")
     ap.add_argument("--markdown", default=None,
                     help="write the summary table to this markdown file")
     args = ap.parse_args()
@@ -98,6 +102,10 @@ def main():
             prob = make_problem(N, J)
             cell = {"N": N, "J": J}
             for name, fn in backends.items():
+                if name == "kalman_assoc" and N > args.assoc_max_n:
+                    cell[name + "_ms"] = None
+                    cell[name + "_ok"] = "skipped_assoc_max_n"
+                    continue
                 jf = jax.jit(fn)
                 try:
                     dt = timeit(jf, *prob)

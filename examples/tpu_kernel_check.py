@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""On-TPU (non-interpret) Pallas kernel parity vs the f64 CPU oracle.
+
+The test suite exercises the Pallas kernels in interpret mode on CPU
+(tests/test_pallas_celerite.py); this script is the REAL-chip check:
+it runs `batched_loglike` (fused forward) and its hand-derived adjoint
+on the TPU in f32 and compares against `lax.scan` f64 values computed
+on CPU, writing a committed artifact with the measured tolerances.
+
+Two phases (separate processes, since x64 is a global jax switch):
+
+    python examples/tpu_kernel_check.py oracle   # CPU f64 -> .npz
+    python examples/tpu_kernel_check.py tpu      # TPU f32 -> artifacts/tpu_kernel_check.json
+
+The problem set spans the flagship shapes (N=489 J=20), a long series
+(N=4096), a small-J case, and the ragged multi-dataset kernel.
+Validated by tests/test_tpu_artifacts.py::test_kernel_check_tolerances.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(HERE, ".."))
+ART = os.path.join(HERE, "..", "artifacts")
+NPZ = os.path.join(ART, "tpu_kernel_check_oracle.npz")
+OUT = os.path.join(ART, "tpu_kernel_check.json")
+
+CASES = [
+    {"name": "flagship", "N": 489, "J": 20, "B": 64},
+    {"name": "long_n", "N": 4096, "J": 20, "B": 16},
+    {"name": "small_j", "N": 512, "J": 4, "B": 64},
+]
+
+
+def make_problem(N, J, B, seed):
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.uniform(0, 1000.0, N))
+    y = rng.normal(size=(B, N))
+    s2 = 0.05 + 0.1 * rng.uniform(size=(B, N))
+    a = rng.uniform(0.5, 2.0, (B, J))
+    b = np.copy(a)  # SHO-style
+    c = rng.uniform(0.05, 0.5, (B, J))
+    d = np.copy(c)
+    return a, b, c, d, t, y, s2
+
+
+def phase_oracle():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from pioran_tpu.ops import celerite as cel
+
+    os.makedirs(ART, exist_ok=True)
+    out = {}
+    for i, case in enumerate(CASES):
+        a, b, c, d, t, y, s2 = make_problem(
+            case["N"], case["J"], case["B"], seed=i)
+
+        def one(aa, bb, cc, dd, yy, ss):
+            return cel.logl(aa, bb, cc, dd, jnp.asarray(t), yy, ss)
+
+        ll, vjp = jax.vjp(
+            lambda A: jax.vmap(one)(
+                A, jnp.asarray(b), jnp.asarray(c), jnp.asarray(d),
+                jnp.asarray(y), jnp.asarray(s2)),
+            jnp.asarray(a),
+        )
+        (ga,) = vjp(jnp.ones_like(ll))
+        out[case["name"] + "_ll"] = np.asarray(ll)
+        out[case["name"] + "_ga"] = np.asarray(ga)
+    np.savez(NPZ, **out)
+    print(f"wrote {NPZ}")
+
+
+def phase_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from pioran_tpu.ops.pallas_celerite import batched_loglike
+
+    assert jax.devices()[0].platform == "tpu", jax.devices()
+    ref = np.load(NPZ)
+    report = {
+        "device": str(jax.devices()[0].device_kind),
+        "jax_version": jax.__version__,
+        "interpret": False,
+        "cases": {},
+    }
+    ok_all = True
+    for i, case in enumerate(CASES):
+        a, b, c, d, t, y, s2 = make_problem(
+            case["N"], case["J"], case["B"], seed=i)
+        f32 = jnp.float32
+        args = [jnp.asarray(x, f32) for x in (a, b, c, d)]
+        tj = jnp.asarray(t, f32)
+        yj = jnp.asarray(y, f32)
+        sj = jnp.asarray(s2, f32)
+
+        ll, vjp = jax.vjp(
+            lambda A: batched_loglike(A, args[1], args[2], args[3], tj, yj, sj),
+            args[0],
+        )
+        (ga,) = vjp(jnp.ones_like(ll))
+        ll = np.asarray(jax.block_until_ready(ll), np.float64)
+        ga = np.asarray(jax.block_until_ready(ga), np.float64)
+        ll_ref = ref[case["name"] + "_ll"]
+        ga_ref = ref[case["name"] + "_ga"]
+        rel_ll = float(np.max(np.abs(ll - ll_ref) / np.abs(ll_ref)))
+        rel_ga = float(np.max(
+            np.abs(ga - ga_ref) / (np.abs(ga_ref) + 1e-3 * np.abs(ga_ref).max())
+        ))
+        # f32 tolerance: likelihood ~1e-4 relative (values O(10^3-10^4),
+        # f32 eps 1.2e-7, N-step accumulation), gradients ~1e-2 relative
+        tol_ll, tol_ga = 2e-4, 2e-2
+        ok = rel_ll < tol_ll and rel_ga < tol_ga
+        ok_all &= ok
+        report["cases"][case["name"]] = {
+            "N": case["N"], "J": case["J"], "B": case["B"],
+            "max_rel_err_loglike": rel_ll,
+            "max_rel_err_grad": rel_ga,
+            "tol_loglike": tol_ll, "tol_grad": tol_ga,
+            "pass": bool(ok),
+        }
+        print(f"{case['name']}: rel_ll={rel_ll:.2e} rel_grad={rel_ga:.2e} "
+              f"-> {'PASS' if ok else 'FAIL'}")
+    report["pass"] = bool(ok_all)
+    with open(OUT, "w") as fh:
+        json.dump(report, fh, indent=2)
+    print(f"wrote {OUT}")
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    phase = sys.argv[1] if len(sys.argv) > 1 else "tpu"
+    if phase == "oracle":
+        phase_oracle()
+    else:
+        sys.exit(phase_tpu())

@@ -89,6 +89,12 @@ def main():
     ap.add_argument("--particles", type=int, default=1024)
     ap.add_argument("--moves", type=int, default=12)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--resume", action="store_true",
+                    help="use the resumable (host-stepped) NS driver — "
+                    "one short jitted step per iteration instead of one "
+                    "long-running while_loop program; required on "
+                    "tunneled TPU backends whose RPC layer kills "
+                    "minutes-long single executions")
     args = ap.parse_args()
 
     import jax
@@ -129,7 +135,7 @@ def main():
             res = run_inference(
                 spec, sampler=sampler, key=jax.random.PRNGKey(args.seed),
                 num_particles=args.particles, num_moves=args.moves,
-                log_dir=log_dir,
+                log_dir=log_dir, resume=args.resume,
             )
             wall = time.time() - t0
             ours_mean = np.asarray(res["posterior"]["mean"])

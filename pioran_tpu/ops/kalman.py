@@ -7,8 +7,19 @@ beat it on throughput at every benchmarked (N, J) when vmapped over
 chains (benchmarks/grid_tpu_f32.json), and the covariance-form filter
 requires f64 for wide-dynamic-range kernels (see Precision below) — use
 it only on CPU/x64 for long-N single evaluations, or as a second oracle.
-A square-root (Cholesky-factor) associative filter would lift the f64
-restriction; until one lands this module stays experimental.
+
+Why a square-root (Cholesky-factor) associative filter — the standard
+f32-stabilization (Yaghoobi et al. 2021) — does NOT apply here: sqrt
+filters require a real factor ``Q_k^{1/2}`` of the per-interval process
+noise, but the celerite 2-d embedding's ``Q_k = Pinf - Phi Pinf Phi^T``
+is INDEFINITE (for an SHO term ``Pinf = a [[1,1],[1,1]]`` is rank-1, so
+``Q_k`` is a difference of two equal-norm rank-1 matrices in rotated
+directions — one positive and one negative eigenvalue whenever
+``d dt != 0 mod pi``). Only the FULL data covariance is PD; per-term /
+per-interval pieces are not, which is exactly why this filter works
+with Schur complements of the full covariance and why the reference's
+LDL^T recursion (and our scan/Pallas path) is the right f32 algorithm.
+Hence: experimental, f64-only, by construction rather than by neglect.
 
 The celerite LDL^T recursion (ops/celerite.py; reference
 src/celerite_solver.jl:12-106) is a Riccati-type recursion: each step's

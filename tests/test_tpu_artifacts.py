@@ -116,5 +116,26 @@ def test_loglike_matches_artifact_ml_point():
                 break
     spec = single_bending_model(sub[:, 0], sub[:, 1], sub[:, 2], xbar, va)
     ll = float(jax.jit(spec.loglike)(jnp.asarray(res["maximum_likelihood"]["point"])))
-    assert abs(ll - res["maximum_likelihood"]["logl"]) < 0.05, (
+    # artifact logl is a TPU f32 evaluation: observed f32-vs-f64 deviation
+    # at logL ~ 1e3 over ~500 scan steps is ~0.09 absolute (~9e-5
+    # relative; same scale as the verify-drive measurement 1533.90 vs
+    # 1533.82), so gate at 0.3 absolute.
+    assert abs(ll - res["maximum_likelihood"]["logl"]) < 0.3, (
         ll, res["maximum_likelihood"]["logl"])
+
+
+def test_kernel_check_tolerances():
+    """The committed on-TPU (non-interpret) Pallas kernel check
+    (examples/tpu_kernel_check.py) must pass its documented f32
+    tolerances on every case, on a real chip."""
+    path = os.path.join(ART, "..", "tpu_kernel_check.json")
+    if not os.path.exists(path):
+        pytest.skip("no committed kernel check (run examples/tpu_kernel_check.py)")
+    with open(path) as fh:
+        rep = json.load(fh)
+    assert rep["pass"], rep
+    assert rep["interpret"] is False
+    assert "TPU" in rep["device"] or "tpu" in rep["device"], rep["device"]
+    for name, case in rep["cases"].items():
+        assert case["max_rel_err_loglike"] < case["tol_loglike"], (name, case)
+        assert case["max_rel_err_grad"] < case["tol_grad"], (name, case)
