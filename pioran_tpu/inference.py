@@ -664,6 +664,8 @@ def run_inference_many(
     S_high: float = 20.0,
     max_leapfrogs: int = 128,
     log_dir: Optional[str] = None,
+    mesh=None,
+    mesh_axis="chains",
 ) -> List[Dict]:
     """Fit the single-bending model to MANY light curves in one program.
 
@@ -682,6 +684,12 @@ def run_inference_many(
     ``datasets``: sequence of (t, y, yerr) arrays, lengths may differ.
     Returns one results dict per dataset (means/stds in the dataset's
     own mu units); artifacts per dataset under ``log_dir/ds{i}/``.
+
+    ``mesh`` (optional): a `jax.sharding.Mesh`; the B = D*C chain batch
+    is laid out as ``P(mesh_axis)`` and the ensemble runs GSPMD-sharded
+    (the ragged Pallas/masked-scan likelihood partitions over chains,
+    ChEES's cross-chain adaptation statistics become all-reduces). B
+    must be divisible by the mesh axis size.
     """
     from .ops.pallas_celerite import batched_loglike_multi
     from .samplers.chees import run_chees
@@ -754,6 +762,15 @@ def run_inference_many(
     z0 = jax.vmap(prior.to_unconstrained)(
         jax.vmap(prior.sample)(jax.random.split(k1, B))
     )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if B % int(np.prod([mesh.shape[a] for a in (
+                (mesh_axis,) if isinstance(mesh_axis, str) else mesh_axis)])):
+            raise ValueError(
+                f"B={B} chains not divisible by mesh axis {mesh_axis}")
+        z0 = jax.device_put(z0, NamedSharding(mesh, PartitionSpec(mesh_axis)))
+        k2 = jax.device_put(k2, NamedSharding(mesh, PartitionSpec()))
     t0 = time.time()
     samples_z, stats = run_chees(
         lambda z: prior.unconstrained_logpdf(z),  # unused per-chain path
