@@ -306,7 +306,10 @@ def predict(kernel, tau, t, y, sigma2):
         has_left = n0[m] > 0
         tl = t[jnp.clip(n_left, 0, t.shape[0] - 1)]
         Ql = Qf[jnp.clip(n_left, 0, t.shape[0] - 1)]
-        decay_l = jnp.exp(-c * (tm - tl))
+        # clamp: when there is no left point, tm - tl < 0 and the decay
+        # would overflow -> inf * 0 = NaN inside the masked branch
+        # (harmless for values, but trips jax_debug_nans)
+        decay_l = jnp.exp(-c * jnp.maximum(tm - tl, 0.0))
         mu_left = jnp.sum(
             decay_l
             * (
@@ -320,7 +323,7 @@ def predict(kernel, tau, t, y, sigma2):
         has_right = n0[m] < t.shape[0]
         tr = t[jnp.clip(n_right, 0, t.shape[0] - 1)]
         Qr = Qb[jnp.clip(n_right, 0, t.shape[0] - 1)]
-        decay_r = jnp.exp(-c * (tr - tm))
+        decay_r = jnp.exp(-c * jnp.maximum(tr - tm, 0.0))
         mu_right = jnp.sum(
             decay_r * (Qr[0] * jnp.cos(d * tm) + Qr[1] * jnp.sin(d * tm))
         )
