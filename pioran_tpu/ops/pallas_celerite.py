@@ -537,7 +537,7 @@ def _forward_impl(a, b, c, d, t, y, sigma2):
 def _fwd(a, b, c, d, t, y, sigma2):
     from .pallas_celerite_vjp import fits_vmem
 
-    if _on_tpu() and fits_vmem(a.shape[1]):
+    if _on_tpu() and fits_vmem(a.shape[1], n=t.shape[0], batch=a.shape[0]):
         from .pallas_celerite_vjp import fwd_aug_pallas
 
         ll, tables = fwd_aug_pallas(a, b, c, d, t, y, sigma2)
@@ -589,7 +589,7 @@ def batched_loglike_multi(a, b, c, d, T, y, sigma2, n_valid):
 def _multi_fwd(a, b, c, d, T, y, sigma2, n_valid):
     from .pallas_celerite_vjp import fits_vmem
 
-    if _on_tpu() and fits_vmem(a.shape[1]):
+    if _on_tpu() and fits_vmem(a.shape[1], n=T.shape[-1], batch=a.shape[0]):
         from .pallas_celerite_vjp import fwd_aug_pallas
 
         # match the masked-scan oracle: dead steps see unit variance so

@@ -76,9 +76,28 @@ def auto_tiles(J):
     return None
 
 
-def fits_vmem(J, block_b=None) -> bool:
-    """False when no tiling fits VMEM (fall back to the scan VJP)."""
-    return auto_tiles(J) is not None
+def fits_vmem(J, block_b=None, n=None, batch=None) -> bool:
+    """False when no tiling fits VMEM/HBM (fall back to the scan VJP).
+
+    Beyond the VMEM tile check (J-dependent), the augmented forward
+    saves per-step tables of ~(4 J8 + 2) * B * N floats plus the kc
+    checkpoint blocks in HBM; with ``n``/``batch`` given, require that
+    footprint under a conservative 6 GB budget (v5e has 16 GB HBM, but
+    the backward materializes several table-sized temporaries). Long-N
+    or huge-batch gradients use the checkpointed scan VJP instead
+    (ops/celerite.py _factor) — same adjoint, O(sqrt(N)) memory.
+    """
+    tiles = auto_tiles(J)
+    if tiles is None:
+        return False
+    if n is not None and batch is not None:
+        _, chunk, kc = tiles
+        J8 = -(-J // 8) * 8
+        tables = 4.0 * batch * n * (4 * J8 + 2)
+        ckpts = 4.0 * batch * (n / (chunk * kc)) * 3 * J8 * J8
+        if tables + ckpts > 6e9:
+            return False
+    return True
 
 _LOG2PI = math.log(2.0 * math.pi)
 

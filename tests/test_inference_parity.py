@@ -132,7 +132,7 @@ def test_advi_lower_bounds_stored_logz(stored, subset):
     spec = single_bending_model(t, y, yerr, xbar, va)
     res = run_inference(
         spec, sampler="advi", key=jax.random.PRNGKey(5),
-        num_warmup=800, num_samples=400,
+        num_warmup=500, num_samples=250,
     )
     logz_ref = stored["logz"]
     assert res["logz_lower"] < logz_ref + 0.5
@@ -155,8 +155,8 @@ def test_run_inference_many_smoke():
         (A[100:350, 0], A[100:350, 1], A[100:350, 2]),
         (A[:, 0], A[:, 1], A[:, 2]),
     ]
-    res = run_inference_many(ds, num_chains=8, num_warmup=40, num_samples=40,
-                             max_leapfrogs=16, key=jax.random.PRNGKey(1))
+    res = run_inference_many(ds, num_chains=8, num_warmup=24, num_samples=24,
+                             max_leapfrogs=8, key=jax.random.PRNGKey(1))
     assert len(res) == 3
     for r, d in zip(res, ds):
         m = np.asarray(r["posterior"]["mean"])
