@@ -151,9 +151,12 @@ def main():
                 Y = jnp.tile(y, (B, 1))
                 S2 = jnp.tile(s2, (B, 1))
                 try:
-                    pf = jax.jit(lambda A: batched_loglike_pallas_fused(
-                        A, Bc, Cc, Dc, t, Y, S2))
-                    dtp = timeit(pf, A)
+                    # NB: pass the big (B, N) arrays as ARGUMENTS — closing
+                    # over them embeds them as HLO constants and the axon
+                    # remote-compile service rejects >~100 MB request
+                    # bodies (HTTP 413)
+                    pf = jax.jit(batched_loglike_pallas_fused)
+                    dtp = timeit(pf, A, Bc, Cc, Dc, t, Y, S2)
                     cell["pallas_batch"] = B
                     cell["pallas_evals_per_s"] = round(B / dtp, 1)
                     # roofline accounting for the fused kernel: the
@@ -169,10 +172,9 @@ def main():
                 except Exception as e:  # noqa: BLE001
                     cell["pallas_evals_per_s"] = f"{type(e).__name__}"
                 try:
-                    if fits_vmem(J):
-                        gf = jax.jit(lambda A: value_and_grad_tables(
-                            A, Bc, Cc, Dc, t, Y, S2))
-                        dtg = timeit(gf, A)
+                    if fits_vmem(J, n=N, batch=B):
+                        gf = jax.jit(value_and_grad_tables)
+                        dtg = timeit(gf, A, Bc, Cc, Dc, t, Y, S2)
                         cell["pallas_grad_evals_per_s"] = round(B / dtg, 1)
                 except Exception as e:  # noqa: BLE001
                     cell["pallas_grad_evals_per_s"] = f"{type(e).__name__}"

@@ -90,6 +90,15 @@ def fits_vmem(J, block_b=None, n=None, batch=None) -> bool:
     tiles = auto_tiles(J)
     if tiles is None:
         return False
+    if n is not None:
+        # the augmented-forward/backward pair stops COMPILING above
+        # N~8192 (remote tpu_compile_helper exits 1 — compiler-side
+        # resource blowup on the table-carrying kernel), independent of
+        # HBM headroom; N=4096 is the largest verified-working size
+        # (benchmarks/grid_tpu_f32.json). Larger N uses the
+        # checkpointed scan VJP — same adjoint, O(sqrt N) memory.
+        if n > 4096:
+            return False
     if n is not None and batch is not None:
         _, chunk, kc = tiles
         J8 = -(-J // 8) * 8
