@@ -47,12 +47,13 @@ def test_artifacts_are_from_tpu(summary):
     assert not summary["x64"], "parity must be proven in f32"
 
 
+@pytest.mark.parametrize("sampler", ["ns", "smc"])
 @pytest.mark.parametrize("name", ["single", "double", "periodic"])
-def test_ns_parity_gates(summary, name):
+def test_ns_parity_gates(summary, name, sampler):
     runs = {k: v for k, v in summary["runs"].items()
-            if v["dataset"] == name and v["sampler"] == "ns"}
+            if v["dataset"] == name and v["sampler"] == sampler}
     if not runs:
-        pytest.skip(f"no committed {name} NS run")
+        pytest.skip(f"no committed {name} {sampler} run")
     entry = next(iter(runs.values()))
     assert entry["pass"], entry
     assert abs(entry["logz_diff"]) < entry["logz_tol"], entry
