@@ -106,10 +106,19 @@ def main():
         jax.config.update("jax_enable_x64", False)
     baseline_evals_per_s = 1.0 / dt1
 
-    # --- ESS/s on a flagship ChEES run (the BASELINE.md north star) ---
-    # guarded: the headline metric must survive a sampler hiccup
+    # --- ESS/s on a flagship nested-sampling run (BASELINE.md north
+    # star; ultranest-comparable: the reference reports ess=2730 for
+    # this model). Host-stepped resumable driver: the monolithic
+    # sampler programs (ChEES's full scan) exceed the axon remote
+    # compiler, and single XLA executions lasting minutes get killed
+    # by the tunnel RPC layer — one short jitted step per iteration is
+    # the shape that works here. Guarded: the headline metric must
+    # survive a sampler hiccup.
     extra = {}
     try:
+        import shutil
+        import tempfile
+
         from pioran_tpu.inference import run_inference, single_bending_model
 
         here = os.path.dirname(os.path.abspath(__file__))
@@ -117,13 +126,18 @@ def main():
         xbar = float(np.mean(np.log(A[:, 1])))
         va = float(np.var(np.log(A[:, 1])))
         spec = single_bending_model(A[:, 0], A[:, 1], A[:, 2], xbar, va)
-        res = run_inference(
-            spec, sampler="chees", key=jax.random.PRNGKey(1),
-            num_chains=256, num_warmup=300, num_samples=500,
-        )
-        extra["ess_per_s"] = round(res["ess_per_s"], 1)
-        extra["min_ess"] = round(res["ess"], 1)
-        extra["max_rhat"] = round(max(res["rhat"]), 4)
+        tmp = tempfile.mkdtemp(prefix="bench_ns_")
+        try:
+            res = run_inference(
+                spec, sampler="ns", key=jax.random.PRNGKey(1),
+                num_particles=1024, log_dir=tmp, resume=True,
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        extra["ess_per_s"] = round(res["ess"] / res["elapsed_s"], 1)
+        extra["ess"] = round(res["ess"], 1)
+        extra["logz"] = round(res["logz"], 3)
+        extra["ncall"] = int(res["ncall"])
     except Exception as e:  # noqa: BLE001 - keep the headline metric alive
         extra["ess_per_s_error"] = type(e).__name__
 
