@@ -44,6 +44,13 @@ DATASETS = {
         subset="simu_periodic_rednoise_subset_time_series.txt",
         perm=[0, 2, 1, 3, 4, 5, 6, 7, 8], logz_tol=1.5, pull_tol=1.0,
     ),
+    # the reference docs workflow: 7 params incl. flux offset c,
+    # variance-normalised approximation (docs/src/data/inference)
+    "docs": dict(
+        dir="simu_docs", subset="subset_time_series.txt",
+        perm=[0, 2, 1, 3, 4, 5, 6], logz_tol=1.0, pull_tol=1.0,
+        kwargs=dict(use_c=True, alpha1_max=1.25, is_integrated_power=False),
+    ),
 }
 
 
@@ -77,8 +84,10 @@ def build_spec(name, t, y, yerr, xbar, va):
         "single": single_bending_model,
         "double": double_bending_model,
         "periodic": periodic_rednoise_model,
+        "docs": single_bending_model,
     }
-    return builders[name](t, y, yerr, xbar, va)
+    kwargs = DATASETS[name].get("kwargs", {})
+    return builders[name](t, y, yerr, xbar, va, **kwargs)
 
 
 def main():

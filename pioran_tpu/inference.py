@@ -94,15 +94,27 @@ def single_bending_model(
     basis_function: str = "SHO",
     S_low: float = 20.0,
     S_high: float = 20.0,
+    use_c: bool = False,
+    alpha1_max: float = 1.5,
+    is_integrated_power: bool = True,
 ) -> GPModelSpec:
     """The reference's single-bending-PL model with its exact priors
     (reference examples/ultranest/single_pl.jl:65-104):
 
-    theta = (alpha_1, alpha_2, f_1, variance, nu, mu);
-    alpha_1 ~ U(0, 1.5); alpha_2 ~ U(alpha_1, 4); f_1 ~ logU(f0*4, fM/4);
-    variance ~ LogNormal(-3, sqrt(2)); nu ~ Gamma(2, 0.5);
-    mu ~ N(xbar, 5 sqrt(va)); data log-transformed with
-    sigma^2 = nu yerr^2 / y^2.
+    theta = (alpha_1, alpha_2, f_1, variance, nu, mu[, c]);
+    alpha_1 ~ U(0, alpha1_max); alpha_2 ~ U(alpha_1, 4);
+    f_1 ~ logU(f0*4, fM/4); variance ~ LogNormal(-3, sqrt(2));
+    nu ~ Gamma(2, 0.5); mu ~ N(xbar, 5 sqrt(va)); data log-transformed
+    with sigma^2 = nu yerr^2 / y^2.
+
+    With ``use_c`` (the docs workflow, reference
+    docs/src/single_pl.jl:63-100: alpha1_max = 1.25 there) a flux
+    offset c ~ logU(1e-6, 0.99 min y) joins theta and the transform
+    becomes ``log(y - c)`` with ``sigma^2 = nu yerr^2/(y - c)^2``.
+    ``is_integrated_power=False`` makes ``variance`` the total process
+    variance instead of the band-integrated power (the stored docs run
+    used that mode: its ML logl reproduces to 1e-12 with it, and is 71
+    off without).
     """
     t = jnp.asarray(t)
     y = jnp.asarray(y)
@@ -110,43 +122,65 @@ def single_bending_model(
     f_min, f_max = _freq_range(np.asarray(t))
     min_f_b, max_f_b = f_min / 20.0 * 4.0, f_max * 20.0 / 4.0
 
-    prior = PriorSet([
-        ("alphas", TwoUniformDependent(0.0, 1.5, 4.0)),
+    items = [
+        ("alphas", TwoUniformDependent(0.0, alpha1_max, 4.0)),
         ("f_1", LogUniform(min_f_b, max_f_b)),
         ("variance", LogNormal(2 * -1.5, np.sqrt(2.0) * 1.0)),
         ("nu", Gamma(2.0, 0.5)),
         ("mu", Normal(xbar, 5.0 * np.sqrt(va))),
-    ])
+    ]
+    names = ["α₁", "α₂", "f₁", "variance", "ν", "μ"]
+    if use_c:
+        items.append(("c", LogUniform(1e-6, float(np.min(np.asarray(y))) * 0.99)))
+        names.append("c")
+    prior = PriorSet(items)
     yn = jnp.log(y)
 
+    def _transform(th):
+        if use_c:
+            c_off = th[6]
+            return jnp.log(y - c_off), th[4] * yerr**2 / (y - c_off) ** 2
+        return yn, th[4] * yerr**2 / y**2
+
     def coeff_fn(th):
-        a1, a2, f1, var, nu, mu = (th[i] for i in range(6))
+        a1, a2, f1, var = th[0], th[1], th[2], th[3]
+        mu = th[5]
         kern = approx(
             SingleBendingPowerLaw(a1, f1, a2), f_min, f_max,
             n_components, var, S_low, S_high, basis_function=basis_function,
+            is_integrated_power=is_integrated_power,
         )
         a, b, c, d = kern.coefficients()
-        return a, b, c, d, yn - mu, nu * yerr**2 / y**2
+        yv, s2 = _transform(th)
+        return a, b, c, d, yv - mu, s2
 
     def loglike(th):
         a, b, c, d, yv, s2 = coeff_fn(th)
         return cel.logl(a, b, c, d, t, yv, s2)
 
     def gp_model(tt, yy, ee, th):
-        a1, a2, f1, var, nu, mu = (th[i] for i in range(6))
+        a1, a2, f1, var = th[0], th[1], th[2], th[3]
+        nu, mu = th[4], th[5]
         kern = approx(
             SingleBendingPowerLaw(a1, f1, a2), f_min, f_max,
             n_components, var, S_low, S_high, basis_function=basis_function,
+            is_integrated_power=is_integrated_power,
         )
-        s2 = nu * jnp.asarray(ee) ** 2 / jnp.asarray(yy) ** 2
+        yy = jnp.asarray(yy)
+        ee = jnp.asarray(ee)
+        if use_c:
+            s2 = nu * ee**2 / (yy - th[6]) ** 2
+        else:
+            s2 = nu * ee**2 / yy**2
         return ScalableGP(mu, kern)(jnp.asarray(tt), s2)
 
     return GPModelSpec(
         prior=prior, loglike=loglike,
-        names=["α₁", "α₂", "f₁", "variance", "ν", "μ"],
+        names=names,
         gp_model=gp_model, psd_model=SingleBendingPowerLaw,
         paramnames_split={"psd": ["α₁", "f₁", "α₂"], "norm": "variance",
-                          "scale_err": "ν", "mean": "μ"},
+                          "scale_err": "ν", "mean": "μ",
+                          **({"log_transform": "c"} if use_c else {})},
         t=np.asarray(t), y=np.asarray(y), yerr=np.asarray(yerr),
         f_min=f_min, f_max=f_max,
         loglike_batch=_batched_loglike_from_coeffs(coeff_fn, t),

@@ -126,3 +126,38 @@ def test_periodic_rednoise_ns_evidence(periodic):
     ref_std = np.asarray(stored["posterior"]["stdev"])
     pull = np.abs(ours - ref_mean) / ref_std
     assert np.all(pull < 1.0), (ours, ref_mean, pull)
+
+
+# stored order a1 f1 a2 var nu mu c -> spec order a1 a2 f1 var nu mu c
+DOCS_PERM = [0, 2, 1, 3, 4, 5, 6]
+
+
+@pytest.fixture(scope="module")
+def docs_run():
+    return _load("simu_docs", "subset_time_series.txt")
+
+
+def test_docs_use_c_loglike_matches_stored_ml(docs_run):
+    """The docs workflow's 7-param model (flux offset c, log(y-c)
+    transform, VARIANCE-normalised approximation — reference
+    docs/src/single_pl.jl:63-100 and its stored run
+    docs/src/data/inference/info/results.json): our likelihood at the
+    stored maximum-likelihood point reproduces the stored logl
+    (466.3183) to f64 precision only with is_integrated_power=False;
+    the integrated-power default is 71 units off, pinning the mode the
+    stored artifact used."""
+    from pioran_tpu.inference import single_bending_model
+
+    stored, t, y, yerr, xbar, va = docs_run
+    spec = single_bending_model(
+        t, y, yerr, xbar, va, use_c=True, alpha1_max=1.25,
+        is_integrated_power=False,
+    )
+    mlp = stored["maximum_likelihood"]["point"]
+    theta = jnp.asarray([mlp[i] for i in DOCS_PERM])
+    ll = float(jax.jit(spec.loglike)(theta))
+    assert abs(ll - stored["maximum_likelihood"]["logl"]) < 1e-6, ll
+    m = stored["posterior"]["mean"]
+    llm = float(jax.jit(spec.loglike)(jnp.asarray([m[i] for i in DOCS_PERM])))
+    assert stored["maximum_likelihood"]["logl"] - 30.0 < llm <= \
+        stored["maximum_likelihood"]["logl"] + 1e-6

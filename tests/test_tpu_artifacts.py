@@ -30,6 +30,7 @@ STORED = {
     "single": "simu_single",
     "double": "simu_double",
     "periodic": "simu_periodic",
+    "docs": "simu_docs",
 }
 
 
@@ -48,7 +49,7 @@ def test_artifacts_are_from_tpu(summary):
 
 
 @pytest.mark.parametrize("sampler", ["ns", "smc"])
-@pytest.mark.parametrize("name", ["single", "double", "periodic"])
+@pytest.mark.parametrize("name", ["single", "double", "periodic", "docs"])
 def test_ns_parity_gates(summary, name, sampler):
     runs = {k: v for k, v in summary["runs"].items()
             if v["dataset"] == name and v["sampler"] == sampler}
@@ -65,7 +66,7 @@ def test_ns_parity_gates(summary, name, sampler):
     assert np.all((wr > 0.5) & (wr < 2.0)), wr
 
 
-@pytest.mark.parametrize("name", ["single", "double", "periodic"])
+@pytest.mark.parametrize("name", ["single", "double", "periodic", "docs"])
 def test_artifact_files_consistent(summary, name):
     """The per-run results.json + posterior text file must exist and
     agree with the summary (no hand-edited summaries)."""
