@@ -36,6 +36,14 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--components", type=int, default=20)
     ap.add_argument("--basis", default="SHO", choices=["SHO", "DRWCelerite"])
+    ap.add_argument("--use-c", action="store_true",
+                    help="fit a flux offset c with the log(y - c) "
+                    "transform (the reference docs workflow, "
+                    "docs/src/single_pl.jl:63-100)")
+    ap.add_argument("--alpha1-max", type=float, default=1.5)
+    ap.add_argument("--variance-norm", action="store_true",
+                    help="normalise the approximation by total variance "
+                    "instead of band-integrated power")
     ap.add_argument("--seed", type=int, default=123)
     ap.add_argument("--x64", action="store_true", help="float64 (CPU) mode")
     ap.add_argument("--cpu", action="store_true", help="force CPU platform")
@@ -69,6 +77,8 @@ def main():
     spec = single_bending_model(
         t, y, yerr, xbar, va,
         n_components=args.components, basis_function=args.basis,
+        use_c=args.use_c, alpha1_max=args.alpha1_max,
+        is_integrated_power=not args.variance_norm,
     )
 
     if args.prior_checks:
@@ -111,14 +121,16 @@ def main():
         print("Running posterior predictive checks...")
         samples = results["samples"]
         # reporting order for PPC: model wants (a1, f1, a2) columns
-        samples_ppc = samples[:, [0, 2, 1, 3, 4, 5]]
-        ppc_names = ["α₁", "f₁", "α₂", "variance", "ν", "μ"]
+        perm = [0, 2, 1, 3, 4, 5] + ([6] if args.use_c else [])
+        samples_ppc = samples[:, perm]
+        ppc_names = ["α₁", "f₁", "α₂", "variance", "ν", "μ"] + (
+            ["c"] if args.use_c else [])
         sub = samples_ppc[
             np.random.default_rng(0).choice(len(samples_ppc), size=min(200, len(samples_ppc)), replace=False)
         ]
 
         def gp_model(tt, yy, ee, params):
-            theta = params[[0, 2, 1, 3, 4, 5]]  # back to spec order
+            theta = params[np.argsort(np.asarray(perm))]  # back to spec order
             return spec.gp_model(tt, yy, ee, theta)
 
         run_posterior_predict_checks(
