@@ -29,8 +29,11 @@ def _build(dtype_name: str):
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import pioran_tpu as pt
+    try:
+        import pioran_tpu as pt
+    except ImportError:  # not pip-installed: run from the repo checkout
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import pioran_tpu as pt
     from pioran_tpu.ops import celerite as cel
 
     dtype = jnp.float64 if dtype_name == "f64" else jnp.float32

@@ -24,7 +24,6 @@ import sys
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-sys.path.insert(0, os.path.join(HERE, ".."))
 ART = os.path.join(HERE, "..", "artifacts")
 NPZ = os.path.join(ART, "tpu_kernel_check_oracle.npz")
 OUT = os.path.join(ART, "tpu_kernel_check.json")

@@ -42,4 +42,4 @@ from .ops.approx import (
 from .ops import celerite as celerite_ops
 from .ops import direct as direct_ops
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"

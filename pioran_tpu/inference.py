@@ -558,13 +558,27 @@ def run_inference(
         logp = np.where(valid & np.isfinite(logp), logp, -np.inf)
         logp -= jax.scipy.special.logsumexp(jnp.asarray(logp))
         w = np.exp(logp)
+        from .utils.insertion import insertion_order_test
+
+        mww = insertion_order_test(
+            np.asarray(res.insert_ranks), n_slots=num_particles - n_delete
+        )
         extra = {
             "logz": float(res.logZ),
             "logzerr": float(res.logZ_err),
             "H": float(res.H),
             "ess": float(1.0 / np.sum(w * w)),
             "ncall": int(res.ncall),
-            "insertion_order_converged": bool(res.num_iters < 8 * num_particles // n_delete),
+            # the run stopped on frac_remain, not the max_iters backstop
+            "iteration_budget_ok": bool(res.num_iters < 8 * num_particles // n_delete),
+            # real insertion-order rank uniformity test (the ultranest
+            # results.json field of the same name)
+            "insertion_order_MWW_test": {
+                "independent_iterations": mww["independent_iterations"],
+                "converged": bool(mww["converged"]),
+                "zscore": mww["zscore"],
+                "pvalue": mww["pvalue"],
+            },
         }
     elif sampler in ("nuts", "chees"):
         from .utils.mcmc_stats import summarize_chains
@@ -633,18 +647,23 @@ def run_inference(
     elif sampler == "advi":
         from .samplers.advi import run_advi
 
+        num_steps = num_warmup + num_samples
+        num_mc = 8
         k1, k2 = jax.random.split(key)
         z0 = prior.to_unconstrained(prior.sample(k1))
         res = jax.jit(
             lambda z, k: run_advi(
                 spec.logpost_unconstrained, z, k,
-                num_steps=num_warmup + num_samples, num_draws=num_samples,
+                num_steps=num_steps, num_mc=num_mc, num_draws=num_samples,
             )
         )(z0, k2)
         theta = np.asarray(jax.vmap(prior.from_unconstrained)(res.samples))
         extra = {
             "logz_lower": float(res.logZ_lower),
-            "ncall": int((num_warmup + num_samples) * 8),
+            # actual ELBO-gradient likelihood evaluations: num_mc draws
+            # per optimizer step, plus the final 64-draw ELBO estimate
+            # (samplers/advi.py run_advi)
+            "ncall": int(num_steps * num_mc + 64),
         }
     else:
         raise ValueError(

@@ -56,9 +56,15 @@ benchmarks/bench_grid.py).
 Precision: the covariance-form filter (both variants here) needs f64 for
 wide-dynamic-range kernels (the J=20 basis spans ~4 frequency decades);
 in f32 the innovation variance can round non-positive, in which case the
-guard returns -inf rather than a wrong number. The f32-stable production
-path on TPU is ops/celerite.py; a square-root (Cholesky-factor)
-parallel filter would lift this restriction.
+guard returns -inf rather than a wrong number. A square-root
+(Cholesky-factor) filter — the classical f32-stable fix — does NOT
+exist for these state spaces: both the stationary covariance ``Pinf_j``
+(DRWCelerite basis has b = sqrt(3) a > a) and the per-interval process
+noise ``Q_k = Pinf - Phi_k Pinf Phi_k^T`` are indefinite for celerite
+embeddings (verified numerically on the J=20 basis), so there is no
+real Cholesky factor to propagate. The f32-stable production path on
+TPU is ops/celerite.py, whose LDL^T recursion only ever forms Schur
+complements of the full PD data covariance.
 """
 
 from __future__ import annotations

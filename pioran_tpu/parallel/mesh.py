@@ -36,13 +36,16 @@ def initialize_distributed(
 ) -> bool:
     """Multi-host process-group init; returns True when part of a group.
 
-    With explicit arguments (or the standard JAX env vars /
-    cluster-autodetect), calls ``jax.distributed.initialize`` and lets
-    failures PROPAGATE — a misconfigured multi-host launch must die
-    loudly, not silently fall back to one process. With no configuration
-    at all this is a no-op returning False (single-process run), so
-    drivers can call it unconditionally — the analog of the reference's
-    top-of-script ``MPI.Init()`` (examples/ultranest/single_pl.jl:19-21).
+    Initialization triggers on any of: explicit arguments, the standard
+    JAX coordinator env vars, or a recognized cluster environment
+    (SLURM, Open MPI, Cloud TPU pod) — in which case
+    ``jax.distributed.initialize``'s own cluster autodetection fills in
+    the coordinator/process topology. Failures PROPAGATE — a
+    misconfigured multi-host launch must die loudly, not silently fall
+    back to one process. With no configuration at all this is a no-op
+    returning False (single-process run), so drivers can call it
+    unconditionally — the analog of the reference's top-of-script
+    ``MPI.Init()`` (examples/ultranest/single_pl.jl:19-21).
     """
     # NB: must not touch jax.process_count()/jax.devices() here — any
     # backend query initializes XLA and jax.distributed.initialize then
@@ -56,7 +59,12 @@ def initialize_distributed(
         os.environ.get(k)
         for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
     )
-    if not (explicit or env):
+    # multi-process cluster environments jax's ClusterEnv detectors
+    # understand but that set none of the vars above: without this check
+    # a no-arg call on a SLURM/OMPI/TPU-pod launch would return False
+    # and every host would silently run as its own one-process group
+    cluster = _detect_cluster_env()
+    if not (explicit or env or cluster):
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -65,6 +73,32 @@ def initialize_distributed(
         **kwargs,
     )
     return jax.process_count() > 1
+
+
+def _detect_cluster_env() -> bool:
+    """True when a known multi-process cluster launcher is in play.
+
+    Mirrors the environments ``jax.distributed.initialize``'s cluster
+    autodetection handles: SLURM srun tasks, Open MPI ranks, and Cloud
+    TPU pod workers (metadata-provided worker lists). Single-task
+    launches (e.g. ``srun -n 1``, ``mpirun -n 1``) do not count.
+    """
+
+    def _int(name):
+        try:
+            return int(os.environ.get(name, ""))
+        except ValueError:
+            return 0
+
+    if os.environ.get("SLURM_JOB_ID") and _int("SLURM_NTASKS") > 1:
+        return True
+    if _int("OMPI_COMM_WORLD_SIZE") > 1:
+        return True
+    # Cloud TPU pod: the runtime exports the worker roster on every host
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h]) > 1:
+        return True
+    return False
 
 
 def make_mesh(

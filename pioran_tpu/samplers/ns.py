@@ -61,6 +61,12 @@ class NSResult(NamedTuple):
     ncall: jax.Array         # likelihood evaluations
     acceptance: jax.Array    # final walker acceptance rate
     logl_max: jax.Array
+    insert_ranks: jax.Array  # (max_iters * n_delete,) replacement insertion
+    #   ranks among the K - n_delete survivors (uniform on 0..K-n_delete
+    #   under correct constrained-prior sampling; -1 beyond num_iters*D).
+    #   Feed to utils.insertion.insertion_order_test — the analog of
+    #   ultranest's insertion_order_MWW_test (reference
+    #   examples/ultranest/inference/simu_single/info/results.json).
 
 
 def _logsubexp(a, b):
@@ -161,6 +167,7 @@ def _ns_init_state(live_u, live_logl, key, K, D, dim, dtype, max_iters,
     dead_u0 = jnp.zeros((max_dead, dim), dtype)
     dead_logl0 = jnp.full((max_dead,), -jnp.inf, dtype)
     dead_logw0 = jnp.full((max_dead,), -jnp.inf, dtype)
+    ranks0 = jnp.full((max_iters * D,), -1.0, dtype)
     scale0 = jnp.asarray(
         1.0 if move == "slice" else 2.0 / jnp.sqrt(jnp.asarray(dim, dtype)),
         dtype)
@@ -170,6 +177,7 @@ def _ns_init_state(live_u, live_logl, key, K, D, dim, dtype, max_iters,
         jnp.zeros((), jnp.int32), key, dead_u0, dead_logl0, dead_logw0,
         scale0, jnp.zeros((), dtype), jnp.asarray(K, jnp.int64 if
         jnp.result_type(int) == jnp.int64 else jnp.int32),
+        ranks0,
     )
 
 
@@ -194,7 +202,8 @@ def _make_ns_step(loglike_u_batch, K, D, dim, dtype, num_mcmc, move,
 
     def step(state):
         (live_u, live_logl, logX, logZ, it, key,
-         dead_u, dead_logl, dead_logw, scale, acc_prev, ncall) = state
+         dead_u, dead_logl, dead_logw, scale, acc_prev, ncall,
+         ranks) = state
         key, k_start, k_walk = jax.random.split(key, 3)
 
         # ---- delete the D worst, record them in ascending-L order ----
@@ -301,6 +310,16 @@ def _make_ns_step(loglike_u_batch, K, D, dim, dtype, num_mcmc, move,
         acc_rate = acc / num_mcmc
         ncall = ncall + D * num_mcmc * evals_per
 
+        # insertion-order diagnostic: each replacement's rank among the
+        # K - D survivors' likelihoods — uniform on {0..K-D} iff the
+        # constrained-prior walks have converged (the statistic behind
+        # ultranest's insertion_order_MWW_test; Buchner 2021)
+        surv_logl = live_logl[survivors]
+        new_ranks = jnp.sum(
+            surv_logl[None, :] < walk_logl[:, None], axis=1
+        ).astype(ranks.dtype)
+        ranks = lax.dynamic_update_slice(ranks, new_ranks, (it * D,))
+
         # rebuild the live set: survivors + fresh walkers
         live_u = jnp.concatenate([live_u[survivors], walk_u], axis=0)
         live_logl = jnp.concatenate([live_logl[survivors], walk_logl], axis=0)
@@ -314,7 +333,8 @@ def _make_ns_step(loglike_u_batch, K, D, dim, dtype, num_mcmc, move,
             scale = jnp.clip(scale * jnp.exp(acc_rate - 0.37), 1e-4, 1.0)
 
         return (live_u, live_logl, logX, logZ, it + 1, key,
-                dead_u, dead_logl, dead_logw, scale, acc_rate, ncall)
+                dead_u, dead_logl, dead_logw, scale, acc_rate, ncall,
+                ranks)
 
     return step
 
@@ -322,7 +342,8 @@ def _make_ns_step(loglike_u_batch, K, D, dim, dtype, num_mcmc, move,
 def _ns_finalize(state, K, D) -> NSResult:
     """Fold the final live set into the evidence and build the result."""
     (live_u, live_logl, logX, logZ, it, key,
-     dead_u, dead_logl, dead_logw, scale, acc_rate, ncall) = state
+     dead_u, dead_logl, dead_logw, scale, acc_rate, ncall,
+     ranks) = state
     dtype = live_logl.dtype
     max_dead = dead_logl.shape[0]
 
@@ -360,6 +381,7 @@ def _ns_finalize(state, K, D) -> NSResult:
         logZ=logZ_final, logZ_err=logZ_err, H=H, num_iters=it,
         ncall=ncall, acceptance=acc_rate,
         logl_max=jnp.max(live_logl),
+        insert_ranks=ranks,
     )
 
 

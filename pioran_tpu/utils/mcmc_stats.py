@@ -100,6 +100,9 @@ def _ess_of(z):
     f = np.fft.rfft(d, nfft, axis=1)
     acov = np.fft.irfft(f * np.conj(f), nfft, axis=1)[:, :S].real / S
     rho = 1.0 - (W - acov.mean(axis=0)) / var_plus  # combined rho_t
+    # the Stan/ArviZ estimator fixes rho_0 = 1 exactly (the estimated
+    # value 1 - W/(S var_plus) slightly understates tau for short chains)
+    rho[0] = 1.0
 
     # Geyer: tau = -rho_0 + 2 * sum of consecutive-pair sums, stopping at
     # the first negative pair and enforcing a monotone non-increasing
@@ -129,8 +132,9 @@ def ess_bulk(chains):
 
 
 def ess_tail(chains):
-    """Tail ESS: min ESS of the 5% / 95% quantile-exceedance indicators,
-    rank-normalized (Vehtari+ 2021 §4.3)."""
+    """Tail ESS: min ESS of the raw 0/1 5% / 95% quantile-exceedance
+    indicator chains (no rank normalization — matching ArviZ and
+    Vehtari+ 2021 §4.3)."""
     chains = np.asarray(chains, dtype=np.float64)
     if chains.ndim == 3:
         return np.asarray([ess_tail(chains[..., i])

@@ -133,3 +133,46 @@ def test_equal_weight_excludes_padding():
         res.num_dead, 1000,
     ))
     assert idx.max() < int(res.num_dead)
+
+
+def test_insertion_order_test_uniform_vs_biased():
+    """MWW rank test: uniform ranks pass, piled-up ranks fail
+    (the ultranest insertion_order_MWW_test semantics, reference
+    examples/ultranest/inference/simu_single/info/results.json)."""
+    from pioran_tpu.utils.insertion import insertion_order_test
+
+    rng = np.random.default_rng(0)
+    n_slots = 448
+    uni = rng.integers(0, n_slots + 1, size=4000)
+    res = insertion_order_test(uni, n_slots)
+    assert res["converged"]
+    assert res["independent_iterations"] == float("inf")
+    assert res["pvalue"] > 0.01
+
+    # unmixed replacement chains: ranks skew low (points stay near
+    # their low-likelihood start region)
+    biased = rng.integers(0, (2 * n_slots) // 3, size=4000)
+    res_b = insertion_order_test(biased, n_slots)
+    assert not res_b["converged"]
+    assert res_b["independent_iterations"] < float("inf")
+
+    # the unused buffer tail (-1 rows) is ignored
+    padded = np.concatenate([uni, np.full(1000, -1.0)])
+    res_p = insertion_order_test(padded, n_slots)
+    assert res_p["n_ranks"] == uni.size
+
+
+def test_ns_insert_ranks_recorded_and_uniform(ns_result):
+    """The NS run records one rank per dead point, in [0, K - D], and
+    the slice replacements pass the insertion-order uniformity test."""
+    from pioran_tpu.utils.insertion import insertion_order_test
+
+    res = ns_result
+    ranks = np.asarray(res.insert_ranks)
+    n_recorded = int(res.num_iters) * 64
+    assert np.all(ranks[:n_recorded] >= 0)
+    assert np.all(ranks[:n_recorded] <= 512 - 64)
+    assert np.all(ranks[n_recorded:] < 0)
+    mww = insertion_order_test(ranks, n_slots=512 - 64)
+    assert mww["n_ranks"] == n_recorded
+    assert mww["converged"], mww
