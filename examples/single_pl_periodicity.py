@@ -32,6 +32,15 @@ def main():
     ap.add_argument("--components", type=int, default=20)
     ap.add_argument("--basis", default="SHO", choices=["SHO", "DRWCelerite"])
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="shard the sampler over the first N local "
+                    "devices (-1: all; 0: all when more than one is "
+                    "visible, else single-device)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="join a multi-host jax.distributed process "
+                    "group and use the global ('hosts','chains') mesh "
+                    "(the analog of the reference's mpirun/julia -p "
+                    "drivers)")
     ap.add_argument("--x64", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--resume", action="store_true")
@@ -67,9 +76,15 @@ def main():
         n_components=args.components, basis_function=args.basis,
     )
 
+    from pioran_tpu.parallel import driver_mesh
+
+    mesh = driver_mesh(args.mesh, args.distributed)
+    if mesh is not None:
+        print(f"mesh: {dict(mesh.shape)} over {mesh.devices.size} device(s)")
     print(f"Running {args.sampler} sampler...")
     results = run_inference(
         spec, sampler=args.sampler, key=jax.random.PRNGKey(args.seed),
+        mesh=mesh,
         num_particles=args.particles, num_chains=args.chains,
         num_warmup=args.warmup, num_samples=args.samples,
         num_moves=args.moves, smc_move=args.move_kind,

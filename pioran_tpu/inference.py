@@ -453,6 +453,23 @@ def carma_model(
     return spec
 
 
+def _mesh_axis_names(mesh, mesh_axis):
+    """Default sharding axis: all mesh axes (tuple collapses to a name)."""
+    if mesh_axis is not None:
+        return mesh_axis
+    names = tuple(mesh.axis_names)
+    return names if len(names) > 1 else names[0]
+
+
+def _mesh_axis_size(mesh, axis) -> int:
+    if isinstance(axis, (tuple, list)):
+        n = 1
+        for a in axis:
+            n *= mesh.shape[a]
+        return n
+    return mesh.shape[axis]
+
+
 def run_inference(
     spec: GPModelSpec,
     sampler: str = "smc",
@@ -468,6 +485,8 @@ def run_inference(
     num_ns_mcmc: int = 8,
     ns_move: str = "slice",
     frac_remain: float = 1e-2,
+    mesh=None,
+    mesh_axis=None,
 ) -> Dict:
     """Run NS / SMC / NUTS / ChEES / ADVI on a model spec, write artifacts.
 
@@ -478,10 +497,35 @@ def run_inference(
     space), summary moments, and (NS/SMC) the logZ evidence — the analog
     of ultranest's ``results`` (reference
     examples/ultranest/single_pl.jl:117).
+
+    ``mesh`` (optional): a `jax.sharding.Mesh` to scale the sampler over
+    devices — the user-surface analog of the reference's driver-level
+    parallelism (``mpirun -n 4`` feeding ultranest likelihood workers,
+    reference examples/ultranest/single_pl.jl:19-21; ``julia -p 6`` +
+    pmap over Turing chains, examples/turing_distributed/single_pl.jl:1).
+    NS/SMC shard the particle axis (likelihood sweeps local per device,
+    evidence/resampling via collectives, parallel/sharded.py); ChEES and
+    NUTS shard the chain axis (ChEES via GSPMD layout + all-reduced
+    adaptation statistics, NUTS via shard_map with cross-device pmean
+    mass pooling). ``mesh_axis`` selects which mesh axes carry the
+    batch (default: all of them, e.g. ("hosts", "chains") on the 2-D
+    mesh from ``parallel.make_mesh_2d``). ``num_particles`` /
+    ``num_chains`` must be divisible by the selected axes' total size.
+    ADVI (a single optimization path) ignores the mesh.
     """
     key = jax.random.PRNGKey(0) if key is None else key
     prior = spec.prior
     t0 = time.time()
+    axis = _mesh_axis_names(mesh, mesh_axis) if mesh is not None else None
+    n_shard = _mesh_axis_size(mesh, axis) if mesh is not None else 1
+    if mesh is not None and sampler in ("ns", "smc") and num_particles % n_shard:
+        raise ValueError(
+            f"num_particles={num_particles} not divisible by the mesh "
+            f"axis size {n_shard}")
+    if mesh is not None and sampler in ("nuts", "chees") and num_chains % n_shard:
+        raise ValueError(
+            f"num_chains={num_chains} not divisible by the mesh "
+            f"axis size {n_shard}")
 
     if sampler == "smc":
         from .samplers.smc import run_smc
@@ -496,7 +540,18 @@ def run_inference(
             loglike_z_batch = lambda Z: spec.loglike_batch(
                 jax.vmap(prior.from_unconstrained)(Z)
             )
-        if resume and log_dir:
+        if mesh is not None:
+            from .parallel.sharded import run_smc_sharded
+
+            if resume:
+                raise NotImplementedError(
+                    "resume is not supported for the mesh-sharded SMC; "
+                    "drop mesh= or resume=")
+            res = run_smc_sharded(
+                loglike_z, prior.unconstrained_logpdf, z0, k2,
+                mesh, axis_name=axis, num_moves=num_moves,
+            )
+        elif resume and log_dir:
             from .samplers.smc import run_smc_resumable
 
             res = run_smc_resumable(
@@ -529,6 +584,15 @@ def run_inference(
                 return jax.vmap(lambda u: spec.loglike(prior.transform(u)))(U)
         k1, k2 = jax.random.split(key)
         n_delete = max(num_particles // 8, 1)
+        if mesh is not None:
+            from .parallel.sharded import sharded_batched_fn
+
+            # likelihood sweeps fan out over the mesh: each device
+            # evaluates its slice of the live/walker batch (the TPU
+            # analog of ultranest's MPI likelihood farm)
+            n_delete = -(-n_delete // n_shard) * n_shard
+            loglike_u_batch = sharded_batched_fn(
+                loglike_u_batch, mesh, axis)
         ns_kwargs = dict(
             num_live=num_particles, dim=dim, n_delete=n_delete,
             num_mcmc=num_ns_mcmc, move=ns_move,
@@ -590,12 +654,21 @@ def run_inference(
             z0 = jax.vmap(prior.to_unconstrained)(
                 jax.vmap(prior.sample)(jax.random.split(keys[0], num_chains))
             )
-            samples_z, stats = jax.vmap(
-                lambda z, k: run_nuts(
-                    spec.logpost_unconstrained, z, k,
+            if mesh is not None:
+                from .parallel.sharded import run_nuts_sharded
+
+                samples_z, stats = run_nuts_sharded(
+                    spec.logpost_unconstrained, z0, keys[1:], mesh,
+                    axis_name=axis,
                     num_warmup=num_warmup, num_samples=num_samples,
                 )
-            )(z0, keys[1:])
+            else:
+                samples_z, stats = jax.vmap(
+                    lambda z, k: run_nuts(
+                        spec.logpost_unconstrained, z, k,
+                        num_warmup=num_warmup, num_samples=num_samples,
+                    )
+                )(z0, keys[1:])
             # (C, S, dim): per-chain draws for rhat/ess
             chains_z = np.asarray(samples_z)
             samples_z = samples_z.reshape(-1, samples_z.shape[-1])
@@ -619,11 +692,28 @@ def run_inference(
                     return lp + spec.loglike_batch(
                         jax.vmap(prior.from_unconstrained)(Z)
                     )
-            samples_z, stats = run_chees(
-                spec.logpost_unconstrained, z0, k2,
-                num_warmup=num_warmup, num_samples=num_samples,
-                logp_batch_fn=logpost_batch,
-            )
+            if mesh is not None:
+                from .parallel.sharded import (
+                    run_chees_sharded, sharded_batched_fn)
+
+                # shard_map the batched log-posterior so each device's
+                # chain slice runs its own fused likelihood; ChEES's
+                # cross-chain adaptation statistics become all-reduces
+                if logpost_batch is not None:
+                    logpost_batch = sharded_batched_fn(
+                        logpost_batch, mesh, axis)
+                samples_z, stats = run_chees_sharded(
+                    spec.logpost_unconstrained, z0, k2, mesh,
+                    axis_name=axis,
+                    num_warmup=num_warmup, num_samples=num_samples,
+                    logp_batch_fn=logpost_batch,
+                )
+            else:
+                samples_z, stats = run_chees(
+                    spec.logpost_unconstrained, z0, k2,
+                    num_warmup=num_warmup, num_samples=num_samples,
+                    logp_batch_fn=logpost_batch,
+                )
             # (S, C, dim) -> (C, S, dim)
             chains_z = np.asarray(samples_z).transpose(1, 0, 2)
             samples_z = samples_z.reshape(-1, samples_z.shape[-1])
@@ -642,7 +732,9 @@ def run_inference(
             "rhat": conv["rhat"],
             "ess_bulk": conv["ess_bulk"],
             "ess_tail": conv["ess_tail"],
-            "ess": float(np.nanmin(ess_b)),
+            # all-NaN for tiny smoke runs (ESS undefined below 4 draws)
+            "ess": (float(np.nanmin(ess_b))
+                    if np.any(np.isfinite(ess_b)) else float("nan")),
         }
     elif sampler == "advi":
         from .samplers.advi import run_advi
@@ -691,6 +783,12 @@ def run_inference(
     }
     if "ess" in results and elapsed > 0:
         results["ess_per_s"] = float(results["ess"]) / elapsed
+    if mesh is not None:
+        results["mesh"] = {
+            "axes": {str(k): int(v) for k, v in mesh.shape.items()},
+            "shard_axes": list(axis) if isinstance(axis, tuple) else str(axis),
+            "n_devices_sharded": int(n_shard),
+        }
 
     if log_dir:
         os.makedirs(os.path.join(log_dir, "chains"), exist_ok=True)

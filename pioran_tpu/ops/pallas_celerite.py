@@ -143,8 +143,17 @@ def _kernel(n_steps, chunk, u_ref, v_ref, p_ref, y_ref, s2_ref, suma_ref,
         fW[1] = Wn
         acc[0, :] = Dn
         acc[1, :] = zpn
-        acc[2, :] = acc[2, :] + live * jnp.log(jnp.abs(Dn))
-        acc[3, :] = acc[3, :] + live * (zpn * zpn) / Dn
+        # Kahan-compensated logdet/quad accumulation (comp in rows 5/6):
+        # the strictly sequential adds would otherwise grow O(N eps)
+        # f32 error — ~500 nats at N = 2^16 (benchmarks/GRID.md r3)
+        x2 = live * jnp.log(jnp.abs(Dn)) - acc[5, :]
+        t2 = acc[2, :] + x2
+        acc[5, :] = (t2 - acc[2, :]) - x2
+        acc[2, :] = t2
+        x3 = live * (zpn * zpn) / Dn - acc[6, :]
+        t3 = acc[3, :] + x3
+        acc[6, :] = (t3 - acc[3, :]) - x3
+        acc[3, :] = t3
         acc[4, :] = jnp.minimum(
             acc[4, :], jnp.where(g < n_steps, Dn, jnp.inf)
         )
@@ -322,8 +331,16 @@ def _fused_kernel(n_steps, chunk, per_lane_t,
         fW[0], fW[1], fW[2], fW[3] = f0n, f1n, W0n, W1n
         acc[0, :] = Dn
         acc[1, :] = zpn
-        acc[2, :] = acc[2, :] + live * jnp.log(jnp.abs(Dn))
-        acc[3, :] = acc[3, :] + live * (zpn * zpn) / Dn
+        # Kahan-compensated accumulation (comp rows 5/6) — keeps the
+        # f32 logdet/quad error O(sqrt N) instead of O(N)
+        x2 = live * jnp.log(jnp.abs(Dn)) - acc[5, :]
+        t2 = acc[2, :] + x2
+        acc[5, :] = (t2 - acc[2, :]) - x2
+        acc[2, :] = t2
+        x3 = live * (zpn * zpn) / Dn - acc[6, :]
+        t3 = acc[3, :] + x3
+        acc[6, :] = (t3 - acc[3, :]) - x3
+        acc[3, :] = t3
         acc[4, :] = jnp.minimum(acc[4, :], jnp.where(g < nvalid, Dn, jnp.inf))
         return 0
 

@@ -90,15 +90,10 @@ def fits_vmem(J, block_b=None, n=None, batch=None) -> bool:
     tiles = auto_tiles(J)
     if tiles is None:
         return False
-    if n is not None:
-        # the augmented-forward/backward pair stops COMPILING above
-        # N~8192 (remote tpu_compile_helper exits 1 — compiler-side
-        # resource blowup on the table-carrying kernel), independent of
-        # HBM headroom; N=4096 is the largest verified-working size
-        # (benchmarks/grid_tpu_f32.json). Larger N uses the
-        # checkpointed scan VJP — same adjoint, O(sqrt N) memory.
-        if n > 4096:
-            return False
+    # NOTE r4: there is no N compile limit anymore — the r3 remote-
+    # compiler blowup above N~4096 is sidestepped by chaining <=SEG_STEPS
+    # launches with carried state (see fwd_aug_pallas). The only gate
+    # left is the HBM footprint of the residual tables below.
     if n is not None and batch is not None:
         _, chunk, kc = tiles
         J8 = -(-J // 8) * 8
@@ -117,9 +112,9 @@ _LOG2PI = math.log(2.0 * math.pi)
 
 def _fwd_aug_kernel(n_steps, chunk, kc, per_lane_t,
                     a_ref, b_ref, c_ref, d_ref, t_ref, dt_ref, y_ref, s2_ref,
-                    suma_ref, nv_ref,
+                    suma_ref, nv_ref, sin_ref, fwin_ref, accin_ref,
                     out_ref, w0_ref, w1_ref, p0_ref, p1_ref, dD_ref, zp_ref,
-                    tcp_ref,
+                    tcp_ref, sout_ref, fwout_ref, accout_ref,
                     S, fW, acc):
     from jax import lax
     from jax.experimental import pallas as pl
@@ -129,10 +124,12 @@ def _fwd_aug_kernel(n_steps, chunk, kc, per_lane_t,
 
     @pl.when(i_n == 0)
     def _init():
-        S[...] = jnp.zeros_like(S)
-        fW[...] = jnp.zeros_like(fW)
-        acc[...] = jnp.zeros_like(acc)
-        acc[4, :] = jnp.full_like(acc[4, :], jnp.inf)
+        # carry-in: the (S, fW, acc) state at this segment's first step
+        # (all-zeros with acc[4] = +inf for a from-scratch run) — lets
+        # long series run as a chain of <=SEG-step kernel launches
+        S[...] = sin_ref[...]
+        fW[...] = fwin_ref[...]
+        acc[...] = accin_ref[...]
 
     av = a_ref[...]
     bv = b_ref[...]
@@ -208,8 +205,16 @@ def _fwd_aug_kernel(n_steps, chunk, kc, per_lane_t,
         fW[0], fW[1], fW[2], fW[3] = f0n, f1n, W0n, W1n
         acc[0, :] = Dn
         acc[1, :] = zpn
-        acc[2, :] = acc[2, :] + live * jnp.log(jnp.abs(Dn))
-        acc[3, :] = acc[3, :] + live * (zpn * zpn) / Dn
+        # Kahan-compensated accumulation (comp rows 5/6), matching the
+        # no-grad forward kernels
+        x2 = live * jnp.log(jnp.abs(Dn)) - acc[5, :]
+        t2 = acc[2, :] + x2
+        acc[5, :] = (t2 - acc[2, :]) - x2
+        acc[2, :] = t2
+        x3 = live * (zpn * zpn) / Dn - acc[6, :]
+        t3 = acc[3, :] + x3
+        acc[6, :] = (t3 - acc[3, :]) - x3
+        acc[3, :] = t3
         acc[4, :] = jnp.minimum(acc[4, :], jnp.where(g < nvalid, Dn, jnp.inf))
         return 0
 
@@ -217,9 +222,15 @@ def _fwd_aug_kernel(n_steps, chunk, kc, per_lane_t,
 
     @pl.when(i_n == num_n - 1)
     def _finish():
+        # nvalid here is segment-local; ll is only meaningful on the
+        # last segment of a chain (the wrapper recomputes it from the
+        # carried accumulators in segmented mode)
         ll = -0.5 * (acc[2, :] + acc[3, :] + nvalid * _LOG2PI)
         ok = (acc[4, :] > 0) & jnp.isfinite(ll)
         out_ref[0, :] = jnp.where(ok, ll, -jnp.inf)
+        sout_ref[...] = S[...]
+        fwout_ref[...] = fW[...]
+        accout_ref[...] = acc[...]
 
 
 def _prep(a, b, c, d, t, y, sigma2, block_b, chunk):
@@ -297,33 +308,44 @@ def _resolve_tiles(J, block_b, chunk, kc):
     return block_b, chunk, kc
 
 
-def fwd_aug_pallas(a, b, c, d, t, y, sigma2, n_valid=None,
-                   *, block_b: int = None, chunk: int = None, kc: int = None,
-                   interpret: bool = False):
-    """Fused forward that also emits the backward's residual tables.
+# largest per-launch time extent (steps) the remote TPU compiler is
+# verified to handle on the table-carrying adjoint kernels; longer
+# series run as a chain of launches with the (S, fW, acc) state carried
+# between them (exact — the recursion is sequential either way)
+SEG_STEPS = 4096
 
-    ``t`` may be (N,) shared or (B, N) per-lane (with optional float
-    ``n_valid`` (B,) ragged lengths). Returns (ll (B,), residuals) in
-    padded layout ready for :func:`bwd_pallas`.
-    """
+
+def _segment_layout(Nc: int, chunk: int):
+    """(n_seg, seg_chunks): balanced segments of <= SEG_STEPS steps."""
+    n_seg = max(-(-(Nc * chunk) // SEG_STEPS), 1)
+    seg_chunks = -(-Nc // n_seg)
+    return n_seg, seg_chunks
+
+
+def _pad_chunks(x, Nc2, fill, per_lane_edge=False):
+    """Pad a (Nc, chunk[, Bp]) chunked table to Nc2 chunk rows."""
+    Nc = x.shape[0]
+    if Nc2 <= Nc:
+        return x
+    if per_lane_edge:
+        pad = jnp.broadcast_to(x[-1:], (Nc2 - Nc,) + x.shape[1:])
+    else:
+        pad = jnp.full((Nc2 - Nc,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([x, pad], axis=0)
+
+
+def _fwd_aug_call(aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma, nv_local,
+                  carry, *, per_lane_t, chunk, kc, block_b, J8, Bp,
+                  interpret):
+    """One <= SEG_STEPS forward-augmented kernel launch with state carry."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    block_b, chunk, kc = _resolve_tiles(a.shape[1], block_b, chunk, kc)
-    per_lane_t = t.ndim == 2
-    dtype = y.dtype
-    if per_lane_t:
-        (aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma, nv,
-         B, J, N, J8, Bp, Np, Nc) = _prep_multi(
-            a, b, c, d, t, y, sigma2, n_valid, block_b, chunk)
-    else:
-        (aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma,
-         B, J, N, J8, Bp, Np, Nc) = _prep(
-            a, b, c, d, t, y, sigma2, block_b, chunk)
-        yT = yT.reshape(Nc, chunk, Bp)
-        s2T = s2T.reshape(Nc, chunk, Bp)
-        nv = jnp.full((1, Bp), N, dtype)
+    dtype = yT.dtype
+    Nc = yT.shape[0]
+    Np = Nc * chunk
     Ncp = Np // kc
+    S_in, fW_in, acc_in = carry
 
     grid = (Bp // block_b, Nc)
     coef_spec = pl.BlockSpec((J8, block_b), lambda ib, iN: (0, ib))
@@ -339,8 +361,12 @@ def fwd_aug_pallas(a, b, c, d, t, y, sigma2, n_valid=None,
     tcp_spec = pl.BlockSpec(
         (chunk // kc, 3, J8, J8, block_b), lambda ib, iN: (iN, 0, 0, 0, ib)
     )
+    scarry_spec = pl.BlockSpec(
+        (3, J8, J8, block_b), lambda ib, iN: (0, 0, 0, ib))
+    fwcarry_spec = pl.BlockSpec((4, J8, block_b), lambda ib, iN: (0, 0, ib))
+    acarry_spec = pl.BlockSpec((8, block_b), lambda ib, iN: (0, ib))
 
-    kern = functools.partial(_fwd_aug_kernel, N, chunk, kc, per_lane_t)
+    kern = functools.partial(_fwd_aug_kernel, 0, chunk, kc, per_lane_t)
     try:
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -352,11 +378,13 @@ def fwd_aug_pallas(a, b, c, d, t, y, sigma2, n_valid=None,
         kern,
         grid=grid,
         in_specs=[coef_spec] * 4 + [t_spec, t_spec, row_spec, row_spec,
-                                    lane_spec, lane_spec],
+                                    lane_spec, lane_spec,
+                                    scarry_spec, fwcarry_spec, acarry_spec],
         out_specs=[
             pl.BlockSpec((1, block_b), lambda ib, iN: (0, ib)),
             tabJ_spec, tabJ_spec, tabJ_spec, tabJ_spec,
             row_spec, row_spec, tcp_spec,
+            scarry_spec, fwcarry_spec, acarry_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, Bp), dtype),
@@ -367,6 +395,9 @@ def fwd_aug_pallas(a, b, c, d, t, y, sigma2, n_valid=None,
             jax.ShapeDtypeStruct((Nc, chunk, Bp), dtype),
             jax.ShapeDtypeStruct((Nc, chunk, Bp), dtype),
             jax.ShapeDtypeStruct((Ncp, 3, J8, J8, Bp), dtype),
+            jax.ShapeDtypeStruct((3, J8, J8, Bp), dtype),
+            jax.ShapeDtypeStruct((4, J8, Bp), dtype),
+            jax.ShapeDtypeStruct((8, Bp), dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((3, J8, J8, block_b), dtype),
@@ -375,11 +406,85 @@ def fwd_aug_pallas(a, b, c, d, t, y, sigma2, n_valid=None,
         ],
         interpret=interpret,
         **({"compiler_params": compiler_params} if compiler_params else {}),
-    )(aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma, nv)
-    ll, W0t, W1t, P0t, P1t, Dt, ZPt, Tcp = outs
+    )(aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma, nv_local,
+      S_in, fW_in, acc_in)
+    ll, W0t, W1t, P0t, P1t, Dt, ZPt, Tcp, S_out, fW_out, acc_out = outs
     residuals = (W0t, W1t, P0t, P1t,
                  Dt.reshape(Np, Bp), ZPt.reshape(Np, Bp), Tcp)
-    return ll[0, :B], residuals
+    return ll, residuals, (S_out, fW_out, acc_out)
+
+
+def _neutral_carry(J8, Bp, dtype):
+    acc0 = jnp.zeros((8, Bp), dtype).at[4, :].set(jnp.inf)
+    return (jnp.zeros((3, J8, J8, Bp), dtype),
+            jnp.zeros((4, J8, Bp), dtype), acc0)
+
+
+def fwd_aug_pallas(a, b, c, d, t, y, sigma2, n_valid=None,
+                   *, block_b: int = None, chunk: int = None, kc: int = None,
+                   interpret: bool = False):
+    """Fused forward that also emits the backward's residual tables.
+
+    ``t`` may be (N,) shared or (B, N) per-lane (with optional float
+    ``n_valid`` (B,) ragged lengths). Returns (ll (B,), residuals) in
+    padded layout ready for :func:`bwd_pallas`.
+
+    Series longer than ``SEG_STEPS`` run as a chain of kernel launches
+    with the running (S, fW, accumulator) state carried between them —
+    numerically identical to one launch (the recursion is sequential),
+    but each launch stays inside the TPU compiler's verified envelope,
+    so the hand adjoint now covers any N the residual tables fit in HBM
+    (the O(N)-for-any-N claim, reference docs/src/explanation.md:50-52).
+    In that case ``residuals`` is a tuple of per-segment tuples.
+    """
+    block_b, chunk, kc = _resolve_tiles(a.shape[1], block_b, chunk, kc)
+    per_lane_t = t.ndim == 2
+    dtype = y.dtype
+    if per_lane_t:
+        (aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma, nv,
+         B, J, N, J8, Bp, Np, Nc) = _prep_multi(
+            a, b, c, d, t, y, sigma2, n_valid, block_b, chunk)
+    else:
+        (aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma,
+         B, J, N, J8, Bp, Np, Nc) = _prep(
+            a, b, c, d, t, y, sigma2, block_b, chunk)
+        yT = yT.reshape(Nc, chunk, Bp)
+        s2T = s2T.reshape(Nc, chunk, Bp)
+        nv = jnp.full((1, Bp), N, dtype)
+
+    n_seg, seg_chunks = _segment_layout(Nc, chunk)
+    call = functools.partial(
+        _fwd_aug_call, per_lane_t=per_lane_t, chunk=chunk, kc=kc,
+        block_b=block_b, J8=J8, Bp=Bp, interpret=interpret)
+
+    if n_seg == 1:
+        ll, residuals, _ = call(
+            aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma, nv,
+            _neutral_carry(J8, Bp, dtype))
+        return ll[0, :B], residuals
+
+    # ---- segmented: equalize segment lengths, then chain launches ----
+    Nc2 = n_seg * seg_chunks
+    tsm = _pad_chunks(tsm, Nc2, 0.0, per_lane_edge=True)
+    dtsm = _pad_chunks(dtsm, Nc2, 0.0)
+    yT = _pad_chunks(yT, Nc2, 0.0)
+    s2T = _pad_chunks(s2T, Nc2, 1.0)
+    Lseg = seg_chunks * chunk
+
+    carry = _neutral_carry(J8, Bp, dtype)
+    seg_residuals = []
+    for s in range(n_seg):
+        sl = slice(s * seg_chunks, (s + 1) * seg_chunks)
+        nv_local = jnp.clip(nv - s * Lseg, 0.0, float(Lseg))
+        _, res_s, carry = call(
+            aT, bT, cT, dT, tsm[sl], dtsm[sl], yT[sl], s2T[sl],
+            suma, nv_local, carry)
+        seg_residuals.append(res_s)
+    acc_out = carry[2]
+    ll = -0.5 * (acc_out[2, :] + acc_out[3, :] + nv[0, :] * _LOG2PI)
+    ok = (acc_out[4, :] > 0) & jnp.isfinite(ll)
+    ll = jnp.where(ok, ll, -jnp.inf)
+    return ll[:B], tuple(seg_residuals)
 
 
 # ---------------------------------------------------------------------------
@@ -388,10 +493,10 @@ def fwd_aug_pallas(a, b, c, d, t, y, sigma2, n_valid=None,
 
 def _bwd_kernel(n_steps, kc, per_lane_t,
                 a_ref, b_ref, c_ref, d_ref, t_ref, dt_ref, suma_ref, g_ref,
-                nv_ref,
+                nv_ref, mbin_ref, cpin_ref,
                 w0_ref, w1_ref, p0_ref, p1_ref, dD_ref, zp_ref, tcp_ref,
                 ab_ref, bb_ref, cb_ref, db_ref, yb_ref, s2b_ref,
-                tb_ref, dtb_ref,
+                tb_ref, dtb_ref, mbout_ref, cpout_ref,
                 Tst, Mb, cpre, coef, acc):
     """One (batch-block, reverse-KC-chunk) grid step of the adjoint.
 
@@ -399,6 +504,11 @@ def _bwd_kernel(n_steps, kc, per_lane_t,
     Mb (3, J, J, B) carried cotangent of T_{m+1}; cpre (2, J, B) carried
     cotangent of pre_{m+1}; coef (4, J, B) accumulated [abar, bbar,
     cbar, dbar]; acc (8, B) rows [sumabar, ...spare].
+
+    ``mbin``/``cpin`` seed the Mbar/cpre carry (zeros for the last time
+    segment; the downstream segment's carry-out otherwise) and
+    ``mbout``/``cpout`` emit it after this segment's first time step —
+    the backward mirror of the forward's segmented state chain.
     """
     from jax import lax
     from jax.experimental import pallas as pl
@@ -410,8 +520,8 @@ def _bwd_kernel(n_steps, kc, per_lane_t,
 
     @pl.when(i_r == 0)
     def _init():
-        Mb[...] = jnp.zeros_like(Mb)
-        cpre[...] = jnp.zeros_like(cpre)
+        Mb[...] = mbin_ref[...]
+        cpre[...] = cpin_ref[...]
         coef[...] = jnp.zeros_like(coef)
         acc[...] = jnp.zeros_like(acc)
 
@@ -604,37 +714,25 @@ def _bwd_kernel(n_steps, kc, per_lane_t,
         bb_ref[...] = coef[1]
         cb_ref[...] = coef[2]
         db_ref[...] = coef[3]
+        mbout_ref[...] = Mb[...]
+        cpout_ref[...] = cpre[...]
 
 
-def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g, n_valid=None,
-               *, block_b: int = None, chunk: int = None, kc: int = None,
-               interpret: bool = False):
-    """Adjoint of the batched likelihood: returns cotangents for
-    (a, b, c, d, t, y, sigma2) given per-chain output cotangents ``g``.
+def _bwd_call(aT, bT, cT, dT, tsm, dtsm, suma, gp, nv_local, residuals,
+              mb_in, cp_in, *, per_lane_t, chunk, kc, block_b, J8, Bp,
+              interpret):
+    """One <= SEG_STEPS backward kernel launch with cotangent carry.
 
-    ``t`` may be (N,) shared across the batch or (B, N) per-lane with
-    optional ragged lengths ``n_valid`` (B,), mirroring
-    :func:`fwd_aug_pallas`. With per-lane ``t`` the returned ``tbar``
-    is (B, N); with shared ``t`` it is (N,) (summed over lanes).
+    ``tsm``/``dtsm`` arrive in the forward's (Nc, chunk[, Bp]) layout
+    for this segment. Returns raw padded per-step outputs (the caller
+    glues segments, folds the dt chain rule and un-pads).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    block_b, chunk, kc = _resolve_tiles(a.shape[1], block_b, chunk, kc)
-    per_lane_t = t.ndim == 2
-    dtype = y.dtype
-    if per_lane_t:
-        (aT, bT, cT, dT, tsm, dtsm, _yT, _s2T, suma, nv,
-         B, J, N, J8, Bp, Np, Nc) = _prep_multi(
-            a, b, c, d, t, y, sigma2, n_valid, block_b, chunk)
-    else:
-        (aT, bT, cT, dT, tsm, dtsm, _yT, _s2T, suma,
-         B, J, N, J8, Bp, Np, Nc) = _prep(
-            a, b, c, d, t, y, sigma2, block_b, chunk)
-        nv = jnp.full((1, Bp), N, dtype)
     W0t, W1t, P0t, P1t, Dt, ZPt, Tcp = residuals
-    gp = _pad_axis(jnp.asarray(g, dtype)[None, :], Bp, 1)
-
+    dtype = Dt.dtype
+    Np = Dt.shape[0]
     num_r = Np // kc
     # the backward walks time in kc-sized chunks: re-tile the t/dt
     # tables so row chunk_idx == base // kc
@@ -659,8 +757,10 @@ def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g, n_valid=None,
     )
     coefout_spec = pl.BlockSpec((J8, block_b), lambda ib, iR: (0, ib))
     t_spec = rowk_spec if per_lane_t else smem_spec
+    mb_spec = pl.BlockSpec((3, J8, J8, block_b), lambda ib, iR: (0, 0, 0, ib))
+    cp_spec = pl.BlockSpec((2, J8, block_b), lambda ib, iR: (0, 0, ib))
 
-    kern = functools.partial(_bwd_kernel, N, kc, per_lane_t)
+    kern = functools.partial(_bwd_kernel, 0, kc, per_lane_t)
     try:
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -672,13 +772,16 @@ def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g, n_valid=None,
         kern,
         grid=grid,
         in_specs=[coef_spec] * 4 + [t_spec, t_spec, lane_spec, lane_spec,
-                                    lane_spec,
+                                    lane_spec, mb_spec, cp_spec,
                                     tabk_spec, tabk_spec, tabk_spec, tabk_spec,
                                     rowk_spec, rowk_spec, tcp_spec],
         out_specs=[coefout_spec] * 4 + [rowk_spec, rowk_spec,
-                                        rowk_spec, rowk_spec],
+                                        rowk_spec, rowk_spec,
+                                        mb_spec, cp_spec],
         out_shape=[jax.ShapeDtypeStruct((J8, Bp), dtype)] * 4
-        + [jax.ShapeDtypeStruct((num_r, kc, Bp), dtype)] * 4,
+        + [jax.ShapeDtypeStruct((num_r, kc, Bp), dtype)] * 4
+        + [jax.ShapeDtypeStruct((3, J8, J8, Bp), dtype),
+           jax.ShapeDtypeStruct((2, J8, Bp), dtype)],
         scratch_shapes=[
             pltpu.VMEM((kc, 3, J8, J8, block_b), dtype),
             pltpu.VMEM((3, J8, J8, block_b), dtype),
@@ -688,14 +791,85 @@ def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g, n_valid=None,
         ],
         interpret=interpret,
         **({"compiler_params": compiler_params} if compiler_params else {}),
-    )(aT, bT, cT, dT, tsm, dtsm, suma, gp, nv,
+    )(aT, bT, cT, dT, tsm, dtsm, suma, gp, nv_local, mb_in, cp_in,
       W0t, W1t, P0t, P1t,
       Dt.reshape(num_r, kc, Bp), ZPt.reshape(num_r, kc, Bp), Tcp)
-    abar, bbar, cbar, dbar, ybar, s2bar, tbp, dtbp = outs
-    ybar = ybar.reshape(Np, Bp)
-    s2bar = s2bar.reshape(Np, Bp)
-    tbp = tbp.reshape(Np, Bp)
-    dtbp = dtbp.reshape(Np, Bp)
+    abar, bbar, cbar, dbar, ybar, s2bar, tbp, dtbp, mb_out, cp_out = outs
+    return (abar, bbar, cbar, dbar,
+            ybar.reshape(Np, Bp), s2bar.reshape(Np, Bp),
+            tbp.reshape(Np, Bp), dtbp.reshape(Np, Bp), mb_out, cp_out)
+
+
+def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g, n_valid=None,
+               *, block_b: int = None, chunk: int = None, kc: int = None,
+               interpret: bool = False):
+    """Adjoint of the batched likelihood: returns cotangents for
+    (a, b, c, d, t, y, sigma2) given per-chain output cotangents ``g``.
+
+    ``t`` may be (N,) shared across the batch or (B, N) per-lane with
+    optional ragged lengths ``n_valid`` (B,), mirroring
+    :func:`fwd_aug_pallas`. With per-lane ``t`` the returned ``tbar``
+    is (B, N); with shared ``t`` it is (N,) (summed over lanes).
+
+    Long series: when the forward was segmented (``residuals`` is a
+    tuple of per-segment tuples), the backward sweeps the segments in
+    reverse, carrying the (Mbar, cpre) cotangent state between kernel
+    launches; coefficient gradients sum over segments and the dt chain
+    rule is folded once globally.
+    """
+    block_b, chunk, kc = _resolve_tiles(a.shape[1], block_b, chunk, kc)
+    per_lane_t = t.ndim == 2
+    dtype = y.dtype
+    if per_lane_t:
+        (aT, bT, cT, dT, tsm, dtsm, _yT, _s2T, suma, nv,
+         B, J, N, J8, Bp, Np, Nc) = _prep_multi(
+            a, b, c, d, t, y, sigma2, n_valid, block_b, chunk)
+    else:
+        (aT, bT, cT, dT, tsm, dtsm, _yT, _s2T, suma,
+         B, J, N, J8, Bp, Np, Nc) = _prep(
+            a, b, c, d, t, y, sigma2, block_b, chunk)
+        nv = jnp.full((1, Bp), N, dtype)
+    gp = _pad_axis(jnp.asarray(g, dtype)[None, :], Bp, 1)
+    call = functools.partial(
+        _bwd_call, per_lane_t=per_lane_t, chunk=chunk, kc=kc,
+        block_b=block_b, J8=J8, Bp=Bp, interpret=interpret)
+
+    segmented = isinstance(residuals[0], tuple)
+    mb0 = jnp.zeros((3, J8, J8, Bp), dtype)
+    cp0 = jnp.zeros((2, J8, Bp), dtype)
+    if not segmented:
+        (abar, bbar, cbar, dbar, ybar, s2bar, tbp, dtbp, _, _) = call(
+            aT, bT, cT, dT, tsm, dtsm, suma, gp, nv, residuals, mb0, cp0)
+    else:
+        n_seg = len(residuals)
+        _, seg_chunks = _segment_layout(Nc, chunk)
+        assert n_seg == -(-Nc // seg_chunks)
+        Nc2 = n_seg * seg_chunks
+        tsm2 = _pad_chunks(tsm, Nc2, 0.0, per_lane_edge=True)
+        dtsm2 = _pad_chunks(dtsm, Nc2, 0.0)
+        Lseg = seg_chunks * chunk
+        mb, cp = mb0, cp0
+        abar = bbar = cbar = dbar = None
+        rows = [None] * n_seg
+        for s in range(n_seg - 1, -1, -1):
+            sl = slice(s * seg_chunks, (s + 1) * seg_chunks)
+            nv_local = jnp.clip(nv - s * Lseg, 0.0, float(Lseg))
+            (ab_s, bb_s, cb_s, db_s, yb_s, s2b_s, tb_s, dtb_s,
+             mb, cp) = call(
+                aT, bT, cT, dT, tsm2[sl], dtsm2[sl], suma, gp, nv_local,
+                residuals[s], mb, cp)
+            if abar is None:
+                abar, bbar, cbar, dbar = ab_s, bb_s, cb_s, db_s
+            else:
+                abar = abar + ab_s
+                bbar = bbar + bb_s
+                cbar = cbar + cb_s
+                dbar = dbar + db_s
+            rows[s] = (yb_s, s2b_s, tb_s, dtb_s)
+        ybar = jnp.concatenate([r[0] for r in rows], axis=0)
+        s2bar = jnp.concatenate([r[1] for r in rows], axis=0)
+        tbp = jnp.concatenate([r[2] for r in rows], axis=0)
+        dtbp = jnp.concatenate([r[3] for r in rows], axis=0)
 
     # un-pad and fold the time partials:
     # t appears via co/si at step m and via dt_m = t_m - t_{m-1},
@@ -704,8 +878,6 @@ def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g, n_valid=None,
     bbar = bbar.T[:B, :J]
     cbar = cbar.T[:B, :J]
     dbar = dbar.T[:B, :J]
-    ybar = ybar.T[:B, :N]
-    s2bar = s2bar.T[:B, :N]
     if per_lane_t:
         # per-lane time grids: tbar is (B, N)
         dtbp = dtbp.at[N:].set(0.0)
@@ -718,6 +890,8 @@ def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g, n_valid=None,
         dtb = dtb.at[N:].set(0.0)
         dtb = jnp.concatenate([dtb, jnp.zeros((1,), dtype)])  # guard m = N-1
         tbar = tb + dtb[:N] - dtb[1:N + 1]
+    ybar = ybar.T[:B, :N]
+    s2bar = s2bar.T[:B, :N]
     return abar, bbar, cbar, dbar, tbar, ybar, s2bar
 
 

@@ -16,6 +16,7 @@ multi-host pods; everything below is host-count agnostic.
 """
 
 from .mesh import (
+    driver_mesh,
     host_local_to_global,
     initialize_distributed,
     local_chain_count,
@@ -31,6 +32,7 @@ from .sharded import (
 )
 
 __all__ = [
+    "driver_mesh",
     "make_mesh",
     "make_mesh_2d",
     "local_chain_count",

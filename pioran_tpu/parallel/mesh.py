@@ -25,6 +25,7 @@ __all__ = [
     "local_chain_count",
     "initialize_distributed",
     "host_local_to_global",
+    "driver_mesh",
 ]
 
 
@@ -134,6 +135,41 @@ def make_mesh_2d(
             f"{len(devs)} devices not divisible by {n_proc} processes")
     grid = np.asarray(devs).reshape(n_proc, len(devs) // n_proc)
     return Mesh(grid, axis_names)
+
+
+def driver_mesh(
+    n_devices: int = 0,
+    distributed: bool = False,
+    axes: Tuple[str, str] = ("hosts", "chains"),
+) -> Optional[Mesh]:
+    """Top-of-script mesh setup for CLI drivers.
+
+    The one call an example script makes before ``run_inference(mesh=…)``
+    — the analog of the reference drivers' opening ``MPI.Init()``
+    (examples/ultranest/single_pl.jl:19-21) / ``julia -p 6``
+    (examples/turing_distributed/single_pl.jl:1):
+
+    - ``distributed=True``: join the multi-host process group
+      (:func:`initialize_distributed`) and build the global
+      ("hosts", "chains") 2-D mesh.
+    - ``n_devices > 0``: 1-D mesh over the first ``n_devices`` local
+      devices; ``n_devices < 0``: all local devices.
+    - default (``n_devices == 0``, single process): all local devices if
+      there is more than one, else ``None`` (plain single-chip run).
+    """
+    if distributed:
+        initialize_distributed()
+        return make_mesh_2d(axes)
+    devs = list(jax.devices())
+    if n_devices > 0:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"--mesh {n_devices} requested but only {len(devs)} "
+                "devices are visible")
+        return make_mesh(axes[-1], devs[:n_devices])
+    if n_devices < 0 or len(devs) > 1:
+        return make_mesh(axes[-1], devs)
+    return None
 
 
 def host_local_to_global(mesh: Mesh, spec: PartitionSpec, local_array):

@@ -186,3 +186,100 @@ def test_run_inference_many_sharded(mesh, simu_log_data=None):
         assert np.all(np.isfinite(ms))
         # identical program modulo GSPMD partitioning: tight agreement
         assert np.allclose(ms, mp, rtol=1e-3, atol=1e-3), (ms, mp)
+
+
+# ---------------------------------------------------------------------------
+# mesh= on the user surface (run_inference)
+# ---------------------------------------------------------------------------
+
+def _toy_spec(dim=3, sigma=0.35):
+    """A cheap GPModelSpec-shaped problem (Gaussian likelihood) so the
+    run_inference mesh plumbing is exercised without GP solve cost."""
+    from pioran_tpu.inference import GPModelSpec
+    from pioran_tpu.priors import PriorSet, Normal
+
+    target = jnp.asarray([0.4, -0.3, 0.1][:dim])
+
+    def loglike(th):
+        return -0.5 * jnp.sum((th - target) ** 2) / sigma**2
+
+    prior = PriorSet([(f"p{i}", Normal(0.0, 1.0)) for i in range(dim)])
+    z = np.zeros(8)
+    return GPModelSpec(
+        prior=prior, loglike=loglike, names=[f"p{i}" for i in range(dim)],
+        gp_model=None, psd_model=None, paramnames_split={},
+        t=z, y=z + 1.0, yerr=z + 0.1, f_min=0.1, f_max=1.0,
+    )
+
+
+def test_run_inference_ns_mesh_matches_unsharded(mesh):
+    """run_inference(sampler='ns', mesh=...) on the 8-device mesh:
+    identical algorithm with the likelihood sweeps shard_mapped, so the
+    posterior must match the unsharded run closely (VERDICT r3 item 1)."""
+    from pioran_tpu.inference import run_inference
+
+    spec = _toy_spec()
+    kw = dict(sampler="ns", key=jax.random.PRNGKey(3), num_particles=256,
+              num_ns_mcmc=4, num_samples=500)
+    res_plain = run_inference(spec, **kw)
+    res_mesh = run_inference(spec, mesh=mesh, **kw)
+    assert res_mesh["mesh"]["n_devices_sharded"] == 8
+    assert abs(res_mesh["logz"] - res_plain["logz"]) < 0.2
+    np.testing.assert_allclose(
+        res_mesh["posterior"]["mean"], res_plain["posterior"]["mean"],
+        atol=0.05,
+    )
+    np.testing.assert_allclose(
+        res_mesh["posterior"]["stdev"], res_plain["posterior"]["stdev"],
+        atol=0.05,
+    )
+    # the MWW diagnostic is produced on the sharded path too
+    assert "insertion_order_MWW_test" in res_mesh
+
+
+def test_run_inference_chees_and_smc_mesh(mesh):
+    """ChEES chains and SMC particles shard through run_inference(mesh=);
+    posterior moments agree with the analytic target."""
+    from pioran_tpu.inference import run_inference
+
+    spec = _toy_spec()
+    res_c = run_inference(
+        spec, sampler="chees", mesh=mesh, key=jax.random.PRNGKey(5),
+        num_chains=16, num_warmup=300, num_samples=300,
+    )
+    # posterior of N(0,1) prior x N(target, 0.35^2) likelihood
+    post_var = 1.0 / (1.0 + 1.0 / 0.35**2)
+    post_mean = np.asarray([0.4, -0.3, 0.1]) * post_var / 0.35**2
+    np.testing.assert_allclose(
+        res_c["posterior"]["mean"], post_mean, atol=0.08)
+    np.testing.assert_allclose(
+        res_c["posterior"]["stdev"], np.sqrt(post_var), atol=0.08)
+
+    res_s = run_inference(
+        spec, sampler="smc", mesh=mesh, key=jax.random.PRNGKey(6),
+        num_particles=512, num_moves=6,
+    )
+    np.testing.assert_allclose(
+        res_s["posterior"]["mean"], post_mean, atol=0.1)
+
+
+def test_run_inference_mesh_divisibility_error(mesh):
+    from pioran_tpu.inference import run_inference
+
+    spec = _toy_spec()
+    with pytest.raises(ValueError, match="divisible"):
+        run_inference(spec, sampler="ns", mesh=mesh, num_particles=100)
+
+
+def test_run_inference_nuts_mesh(mesh):
+    from pioran_tpu.inference import run_inference
+
+    spec = _toy_spec()
+    res = run_inference(
+        spec, sampler="nuts", mesh=mesh, key=jax.random.PRNGKey(7),
+        num_chains=8, num_warmup=150, num_samples=200,
+    )
+    post_var = 1.0 / (1.0 + 1.0 / 0.35**2)
+    post_mean = np.asarray([0.4, -0.3, 0.1]) * post_var / 0.35**2
+    np.testing.assert_allclose(res["posterior"]["mean"], post_mean, atol=0.1)
+    assert res["ncall"] > 0 and np.all(np.asarray(res["rhat"]) < 1.1)

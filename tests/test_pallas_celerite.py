@@ -213,3 +213,110 @@ def test_batched_loglike_multi_grad_cpu_path():
     fr = lambda aa: jnp.sum(_scan_batched_multi(aa, b, c, d, T, y, s2, nv))
     np.testing.assert_allclose(
         np.asarray(jax.grad(f)(a)), np.asarray(jax.grad(fr)(a)), rtol=1e-9)
+
+
+def test_fused_kernel_f32_long_n_compensated():
+    """Long-N f32 accuracy: the Kahan-compensated logdet/quad
+    accumulators keep the kernel's f32 error at the level of the f32
+    recursion itself (~0.1 nat at N=16384) instead of the O(N eps)
+    sequential-add growth (~500 nats at N=2^16, benchmarks/GRID.md r3).
+    Matches the scan path's tree-reduced sums."""
+    from pioran_tpu.ops import celerite as cel
+
+    rng = np.random.default_rng(0)
+    N, J = 16384, 8
+    t = np.sort(rng.uniform(0, N / 4, N))
+    a = np.abs(rng.normal(0.5, 0.2, J))
+    b = np.zeros(J)
+    c = np.abs(rng.normal(0.5, 0.2, J))
+    d = np.abs(rng.normal(0.3, 0.1, J))
+    y = np.sin(t / 10) + rng.normal(0, 0.3, N)
+    s2 = 0.05 + 0.01 * np.abs(rng.normal(size=N))
+
+    ll64 = float(cel.logl(*[jnp.asarray(x, jnp.float64)
+                            for x in (a, b, c, d, t, y, s2)]))
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    ll32 = float(batched_loglike_pallas_fused(
+        f32(a)[None], f32(b)[None], f32(c)[None], f32(d)[None],
+        f32(t), f32(y)[None], f32(s2)[None], interpret=True)[0])
+    assert abs(ll32 - ll64) < 1.0, (ll32, ll64)
+
+
+def test_segmented_adjoint_matches_scan_vjp(monkeypatch):
+    """Long-N gradients: series longer than SEG_STEPS run as a chain of
+    kernel launches with carried (S, fW, acc) forward state and
+    (Mbar, cpre) backward cotangent state. Shrink SEG_STEPS so the
+    boundary logic is exercised cheaply (3 segments at N=700); values
+    and all seven cotangents must match the scan VJP exactly."""
+    from pioran_tpu.ops import pallas_celerite_vjp as vjp_mod
+    from pioran_tpu.ops.pallas_celerite_vjp import fwd_aug_pallas, bwd_pallas
+
+    monkeypatch.setattr(vjp_mod, "SEG_STEPS", 256)
+    rng = np.random.default_rng(1)
+    B, J, N = 4, 4, 700
+    t = jnp.asarray(np.sort(rng.uniform(0, 60, N)))
+    a = jnp.asarray(np.abs(rng.normal(0.5, 0.2, (B, J))))
+    b = jnp.asarray(0.1 * np.abs(rng.normal(0.2, 0.1, (B, J))))
+    c = jnp.asarray(np.abs(rng.normal(0.5, 0.2, (B, J))))
+    d = jnp.asarray(np.abs(rng.normal(0.3, 0.1, (B, J))))
+    y = jnp.asarray(rng.normal(0, 1, (B, N)))
+    s2 = jnp.asarray(0.1 + 0.02 * np.abs(rng.normal(size=(B, N))))
+
+    ll, res = fwd_aug_pallas(a, b, c, d, t, y, s2, interpret=True)
+    assert isinstance(res[0], tuple) and len(res) == 3  # segmented
+    ll_ref = _scan_batched(a, b, c, d, t, y, s2)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref),
+                               rtol=1e-9, atol=1e-8)
+
+    g = jnp.asarray(rng.normal(0, 1, (B,)))
+    grads = bwd_pallas(a, b, c, d, t, y, s2, res, g, interpret=True)
+    _, vjp = jax.vjp(lambda *ar: _scan_batched(*ar), a, b, c, d, t, y, s2)
+    ref = vjp(g)
+    for gp, gr in zip(grads, ref):
+        scale = np.max(np.abs(np.asarray(gr))) + 1e-30
+        np.testing.assert_allclose(np.asarray(gp) / scale,
+                                   np.asarray(gr) / scale, atol=1e-9)
+
+
+def test_segmented_adjoint_ragged_multi(monkeypatch):
+    """Segmented adjoint with per-lane time grids + ragged lengths
+    (n_valid crossing a segment boundary)."""
+    from pioran_tpu.ops import pallas_celerite_vjp as vjp_mod
+    from pioran_tpu.ops.pallas_celerite_vjp import fwd_aug_pallas, bwd_pallas
+    from pioran_tpu.ops.pallas_celerite import _scan_batched_multi
+
+    monkeypatch.setattr(vjp_mod, "SEG_STEPS", 256)
+    rng = np.random.default_rng(2)
+    B, J, N = 4, 4, 600
+    T = jnp.asarray(np.sort(rng.uniform(0, 60, (B, N)), axis=1))
+    nv = jnp.asarray([600.0, 410.0, 300.0, 599.0])
+    a = jnp.asarray(np.abs(rng.normal(0.5, 0.2, (B, J))))
+    b = jnp.asarray(0.1 * np.abs(rng.normal(0.2, 0.1, (B, J))))
+    c = jnp.asarray(np.abs(rng.normal(0.5, 0.2, (B, J))))
+    d = jnp.asarray(np.abs(rng.normal(0.3, 0.1, (B, J))))
+    y = jnp.asarray(rng.normal(0, 1, (B, N)))
+    s2 = jnp.asarray(0.1 + 0.02 * np.abs(rng.normal(size=(B, N))))
+    s2m = jnp.where(jnp.arange(N)[None, :] < nv[:, None], s2, 1.0)
+
+    ll, res = fwd_aug_pallas(a, b, c, d, T, y, s2m, n_valid=nv,
+                             interpret=True)
+    assert isinstance(res[0], tuple)
+    ll_ref = _scan_batched_multi(a, b, c, d, T, y, s2, nv)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref),
+                               rtol=1e-9, atol=1e-8)
+
+    g = jnp.asarray(rng.normal(0, 1, (B,)))
+    grads = bwd_pallas(a, b, c, d, T, y, s2m, res, g, n_valid=nv,
+                       interpret=True)
+    _, vjp = jax.vjp(
+        lambda *ar: _scan_batched_multi(*ar, nv), a, b, c, d, T, y, s2)
+    ref = vjp(g)
+    live = np.arange(N)[None, :] < np.asarray(nv)[:, None]
+    for i, (gp, gr) in enumerate(zip(grads, ref)):
+        gp, gr = np.asarray(gp), np.asarray(gr)
+        if i >= 4:  # t, y, s2: compare live entries only
+            gp = np.where(live, gp, 0.0)
+            gr = np.where(live, gr, 0.0)
+        scale = np.max(np.abs(gr)) + 1e-30
+        np.testing.assert_allclose(gp / scale, gr / scale, atol=1e-9)
