@@ -118,17 +118,17 @@ def main():
     # the shape that works here. Guarded: the headline metric must
     # survive a sampler hiccup.
     extra = {}
+    from pioran_tpu.inference import run_inference, single_bending_model
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    A = np.loadtxt(os.path.join(here, "tests", "data", "simu.txt"))
+    xbar = float(np.mean(np.log(A[:, 1])))
+    va = float(np.var(np.log(A[:, 1])))
+    spec = single_bending_model(A[:, 0], A[:, 1], A[:, 2], xbar, va)
     try:
         import shutil
         import tempfile
 
-        from pioran_tpu.inference import run_inference, single_bending_model
-
-        here = os.path.dirname(os.path.abspath(__file__))
-        A = np.loadtxt(os.path.join(here, "tests", "data", "simu.txt"))
-        xbar = float(np.mean(np.log(A[:, 1])))
-        va = float(np.var(np.log(A[:, 1])))
-        spec = single_bending_model(A[:, 0], A[:, 1], A[:, 2], xbar, va)
         tmp = tempfile.mkdtemp(prefix="bench_ns_")
         try:
             res = run_inference(
@@ -143,6 +143,45 @@ def main():
         extra["ncall"] = int(res["ncall"])
     except Exception as e:  # noqa: BLE001 - keep the headline metric alive
         extra["ess_per_s_error"] = type(e).__name__
+
+    # --- gradient-path ESS/s: host-stepped ChEES-HMC (the HMC-family
+    # leg of the north star; every leapfrog runs value+grad through the
+    # batched likelihood, i.e. the Pallas fused forward + hand adjoint).
+    # Host-stepped for the same tunnel reasons as the NS leg.
+    try:
+        from pioran_tpu.samplers.chees import run_chees_stepped
+        from pioran_tpu.utils.mcmc_stats import summarize_chains
+
+        prior = spec.prior
+
+        def logpost_batch(Z):
+            lp = jax.vmap(prior.unconstrained_logpdf)(Z)
+            return lp + spec.loglike_batch(
+                jax.vmap(prior.from_unconstrained)(Z))
+
+        C = 128
+        k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+        z0 = jax.vmap(prior.to_unconstrained)(
+            jax.vmap(prior.sample)(jax.random.split(k1, C)))
+        t0 = time.perf_counter()
+        samples_z, st = run_chees_stepped(
+            prior.unconstrained_logpdf, z0, k2,
+            num_warmup=300, num_samples=300, max_leapfrogs=256,
+            logp_batch_fn=logpost_batch,
+        )
+        chees_elapsed = time.perf_counter() - t0
+        # (S, C, dim) -> (C, S, dim) theta-space convergence stats
+        TH = jax.vmap(jax.vmap(prior.from_unconstrained))(
+            jnp.asarray(samples_z))
+        conv = summarize_chains(np.asarray(TH).transpose(1, 0, 2))
+        ess_min = float(np.nanmin(np.asarray(conv["ess_bulk"], np.float64)))
+        extra["ess_per_s_chees"] = round(ess_min / chees_elapsed, 1)
+        extra["ess_chees"] = round(ess_min, 1)
+        extra["rhat_max_chees"] = round(float(np.nanmax(
+            np.asarray(conv["rhat"], np.float64))), 4)
+        extra["chees_leapfrogs"] = int(np.sum(st["n_leapfrogs"])) * C
+    except Exception as e:  # noqa: BLE001
+        extra["ess_per_s_chees_error"] = type(e).__name__
 
     print(json.dumps({
         "metric": "gp_loglike_evals_per_s_per_chip",

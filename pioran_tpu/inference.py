@@ -69,10 +69,26 @@ class GPModelSpec:
         )
 
 
-def _batched_loglike_from_coeffs(coeff_fn, t):
+def _batched_loglike_from_coeffs(coeff_fn, t, seq_mesh=None,
+                                 seq_axis="seq"):
     """(B, dim) -> (B,) likelihood: vmapped parameter->coefficient map
     (small JxJ solves on the MXU) feeding the fused Pallas celerite
-    kernel (ops/pallas_celerite.py) on TPU, the scan oracle elsewhere."""
+    kernel (ops/pallas_celerite.py) on TPU, the scan oracle elsewhere.
+
+    With ``seq_mesh``, the TIME axis is sharded instead: the batch runs
+    through the pipelined blockwise scan (parallel/seq_scan.py
+    logl_seq_pipelined) — chain micro-batches stagger around the device
+    ring so devices stay busy while N scales to n_dev x one chip."""
+    if seq_mesh is not None:
+        from .parallel.seq_scan import logl_seq_pipelined
+
+        def loglike_batch_seq(TH):
+            a, b, c, d, yv, s2 = jax.vmap(coeff_fn)(TH)
+            return logl_seq_pipelined(a, b, c, d, t, yv, s2, seq_mesh,
+                                      axis_name=seq_axis)
+
+        return loglike_batch_seq
+
     from .ops.pallas_celerite import batched_loglike
 
     def loglike_batch(TH):
@@ -97,6 +113,8 @@ def single_bending_model(
     use_c: bool = False,
     alpha1_max: float = 1.5,
     is_integrated_power: bool = True,
+    seq_mesh=None,
+    seq_axis: str = "seq",
 ) -> GPModelSpec:
     """The reference's single-bending-PL model with its exact priors
     (reference examples/ultranest/single_pl.jl:65-104):
@@ -115,6 +133,13 @@ def single_bending_model(
     variance instead of the band-integrated power (the stored docs run
     used that mode: its ML logl reproduces to 1e-12 with it, and is 71
     off without).
+
+    ``seq_mesh`` (optional): a Mesh whose ``seq_axis`` shards the TIME
+    dimension — for series too long for one chip. The scalar likelihood
+    runs the blockwise ppermute scan and the sampler's batched sweeps
+    run the pipelined variant (chain micro-batches staggered around the
+    device ring). Requires N divisible by the axis size and batch
+    widths (``num_particles``, ``n_delete``) divisible by it too.
     """
     t = jnp.asarray(t)
     y = jnp.asarray(y)
@@ -156,7 +181,8 @@ def single_bending_model(
 
     def loglike(th):
         a, b, c, d, yv, s2 = coeff_fn(th)
-        return cel.logl(a, b, c, d, t, yv, s2)
+        return cel.logl(a, b, c, d, t, yv, s2,
+                        mesh=seq_mesh, seq_axis=seq_axis, seq_min_n=0)
 
     def gp_model(tt, yy, ee, th):
         a1, a2, f1, var = th[0], th[1], th[2], th[3]
@@ -183,7 +209,8 @@ def single_bending_model(
                           **({"log_transform": "c"} if use_c else {})},
         t=np.asarray(t), y=np.asarray(y), yerr=np.asarray(yerr),
         f_min=f_min, f_max=f_max,
-        loglike_batch=_batched_loglike_from_coeffs(coeff_fn, t),
+        loglike_batch=_batched_loglike_from_coeffs(
+            coeff_fn, t, seq_mesh=seq_mesh, seq_axis=seq_axis),
     )
 
 

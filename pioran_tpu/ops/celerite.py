@@ -185,7 +185,14 @@ def celerite_factor_solve(
     return z, D, W, logdetD, uv
 
 
-def logl(a, b, c, d, t, y, sigma2):
+# series at or above this length dispatch to the sequence-sharded
+# blockwise scan when a mesh is supplied (below it, sharding a short
+# series is pure ppermute overhead)
+SEQ_SHARD_MIN_N = 8192
+
+
+def logl(a, b, c, d, t, y, sigma2, mesh=None, seq_axis: str = "seq",
+         seq_min_n: Optional[int] = None):
     """Celerite GP log-likelihood (reference celerite_solver.jl:312-334).
 
     loglike = -logdetD/2 - N log(2 pi)/2 - y^T K^{-1} y / 2
@@ -196,7 +203,22 @@ def logl(a, b, c, d, t, y, sigma2):
     arbitrarily large fake likelihood spikes that samplers lock onto.
     (The reference instead takes ``log abs(D)``, celerite_solver.jl:140,
     but runs in f64 where its priors keep D positive.)
+
+    ``mesh`` (optional): a Mesh whose ``seq_axis`` carries the time
+    dimension. Series of N >= ``seq_min_n`` (default SEQ_SHARD_MIN_N)
+    then run through the blockwise ppermute scan
+    (parallel.seq_scan.logl_seq_sharded) — each device holds 1/n_dev of
+    the tables, so N scales to n_dev x one chip's memory; shorter series
+    ignore the mesh (sharding them is pure overhead). Identical values
+    and gradients either way.
     """
+    if mesh is not None:
+        cap = SEQ_SHARD_MIN_N if seq_min_n is None else seq_min_n
+        if t.shape[0] >= cap and t.shape[0] % mesh.shape[seq_axis] == 0:
+            from ..parallel.seq_scan import logl_seq_sharded
+
+            return logl_seq_sharded(a, b, c, d, t, y, sigma2, mesh,
+                                    axis_name=seq_axis)
     z, D, _, logdetD, _ = celerite_factor_solve(a, b, c, d, t, y, sigma2)
     N = y.shape[0]
     ll = -0.5 * logdetD - 0.5 * N * jnp.log(2.0 * jnp.pi) - 0.5 * jnp.dot(y, z)
@@ -204,10 +226,15 @@ def logl(a, b, c, d, t, y, sigma2):
     return jnp.where(ok, ll, -jnp.inf)
 
 
-def log_likelihood(kernel, t, y, sigma2):
-    """Log-likelihood for a CeleriteKernel (reference celerite_solver.jl:262-294)."""
+def log_likelihood(kernel, t, y, sigma2, mesh=None, seq_axis: str = "seq",
+                   seq_min_n: Optional[int] = None):
+    """Log-likelihood for a CeleriteKernel (reference celerite_solver.jl:262-294).
+
+    Pass ``mesh=`` to shard long series over the mesh's ``seq_axis``
+    (see :func:`logl`)."""
     a, b, c, d = kernel.coefficients()
-    return logl(a, b, c, d, t, y, sigma2)
+    return logl(a, b, c, d, t, y, sigma2, mesh=mesh, seq_axis=seq_axis,
+                seq_min_n=seq_min_n)
 
 
 def simulate(key, kernel, t, sigma2):

@@ -9,11 +9,15 @@ its (N/n_dev, R) slice of the U/V/phi tables, and the R x R running
 factorization state + forward-solve carry are handed from device k to
 k+1 with `lax.ppermute` when block k finishes.
 
-Wall-clock equals the single-chip scan (the recursion is inherently
-sequential — device k+1 cannot start before k's carry arrives); what
-scales is MEMORY: each chip holds 1/n_dev of the tables, so N can grow
-to n_dev x one chip's capacity. When vmapped over a chain batch the
-idle devices pipeline naturally (chain micro-batches stagger).
+For ONE chain, wall-clock equals the single-chip scan (the recursion is
+inherently sequential — device k+1 cannot start before k's carry
+arrives); what scales is MEMORY: each chip holds 1/n_dev of the tables,
+so N can grow to n_dev x one chip's capacity. For a BATCH of chains,
+:func:`logl_seq_pipelined` software-pipelines chain micro-batches
+around the device ring: device k runs micro-batch m's block while
+device k+1 runs micro-batch m-1's — M micro-batches finish in
+M + n_dev - 1 block-times instead of M * n_dev, so device utilization
+approaches 1 (not 1/n_dev) as M grows.
 
 Key structural fact exploited here: with ``phi[0] = 0`` (build_uv,
 ops/celerite.py:74) the factorization + forward-solve recursion is a
@@ -38,7 +42,8 @@ from jax import shard_map
 
 from ..ops.celerite import build_uv
 
-__all__ = ["logl_seq_sharded", "factor_solve_seq_sharded"]
+__all__ = ["logl_seq_sharded", "factor_solve_seq_sharded",
+           "logl_seq_pipelined"]
 
 
 def _uniform_step(suma):
@@ -163,3 +168,141 @@ def logl_seq_sharded(
     ll = -0.5 * logdet - 0.5 * N * jnp.log(2.0 * jnp.pi) - 0.5 * quad
     ok = jnp.all(D > 0) & jnp.isfinite(ll)
     return jnp.where(ok, ll, -jnp.inf)
+
+
+def logl_seq_pipelined(
+    a, b, c, d, t, Y, S2, mesh: Mesh, axis_name: str = "seq",
+    n_micro: int = None,
+):
+    """Batched celerite log-likelihood: sequence axis sharded over the
+    mesh, chain micro-batches software-pipelined around the device ring.
+
+    ``a..d``: (B, J) per-chain coefficients; ``t``: (N,) shared sorted
+    times; ``Y``, ``S2``: (B, N) per-chain residuals / noise variances.
+    N must be divisible by the mesh axis size, B by ``n_micro``
+    (default: the axis size).
+
+    Pipeline: device k owns time block k. At ring round r, device k runs
+    micro-batch ``m = r - k`` through its block (if 0 <= m < M) with the
+    carry ppermuted in from device k-1; M micro-batches therefore finish
+    in ``M + n_dev - 1`` block-times instead of ``M * n_dev`` — the idle
+    fraction is (n_dev - 1)/(M + n_dev - 1), approaching zero as the
+    chain batch grows. This is the throughput mode of the sequence axis
+    (SURVEY §2.6 row 4); :func:`logl_seq_sharded` is the latency mode
+    for one chain.
+
+    Returns (B,) log-likelihoods (-inf where the factorization is not
+    PD), identical to vmapped ops.celerite.logl.
+    """
+    n_dev = mesh.shape[axis_name]
+    N = t.shape[0]
+    B, J = a.shape
+    R = 2 * J
+    if N % n_dev != 0:
+        raise ValueError(f"N={N} not divisible by mesh axis size {n_dev}")
+    M = n_micro or n_dev
+    if B % M != 0:
+        raise ValueError(f"B={B} chains not divisible by n_micro={M}")
+    mb = B // M
+    dtype = Y.dtype
+    # global dt (leading 0) so each block's first phi row decays against
+    # the previous block's last point
+    dt = jnp.concatenate([jnp.zeros((1,), t.dtype), jnp.diff(t)])
+    suma = jnp.sum(a, axis=1)  # (B,)
+
+    def local(t_l, dt_l, Y_l, S2_l, a_g, b_g, c_g, d_g, suma_g):
+        me = lax.axis_index(axis_name)
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        K = t_l.shape[0]
+
+        def chain_tables(cm, dm):
+            """(K, R) interleaved U, V, phi rows for one chain's block."""
+            td = t_l[:, None] * dm[None, :]
+            co = jnp.cos(td)
+            si = jnp.sin(td)
+            ec = jnp.exp(-dt_l[:, None] * cm[None, :])
+            return co, si, ec
+
+        def run_block(carry, am, bm, cm, dm, sm, y_row, s2_row):
+            """One chain's block scan from ``carry``; returns partials."""
+            co, si, ec = chain_tables(cm, dm)
+            U = jnp.stack([am * co + bm * si, am * si - bm * co],
+                          axis=-1).reshape(K, R)
+            V = jnp.stack([co, si], axis=-1).reshape(K, R)
+            phi = jnp.stack([ec, ec], axis=-1).reshape(K, R)
+            step = _uniform_step(sm)
+            carry, (D_blk, zp_blk) = lax.scan(
+                step, carry, (U, V, phi, s2_row, y_row))
+            logdet = jnp.sum(jnp.log(jnp.abs(D_blk)))
+            quad = jnp.sum(zp_blk * zp_blk / D_blk)
+            minD = jnp.min(D_blk)
+            return carry, logdet, quad, minD
+
+        neutral = (
+            jnp.zeros((mb, R, R), dtype),
+            jnp.zeros((mb, R), dtype),
+            jnp.zeros((mb,), dtype),
+            jnp.zeros((mb, R), dtype),
+            jnp.zeros((mb,), dtype),
+        )
+
+        def round_body(r, state):
+            carry_recv, ld_acc, qd_acc, md_acc = state
+            m = r - me
+            active = (m >= 0) & (m < M)
+            mc = jnp.clip(m, 0, M - 1) * mb
+            am = lax.dynamic_slice_in_dim(a_g, mc, mb)
+            bm = lax.dynamic_slice_in_dim(b_g, mc, mb)
+            cm = lax.dynamic_slice_in_dim(c_g, mc, mb)
+            dm = lax.dynamic_slice_in_dim(d_g, mc, mb)
+            sm = lax.dynamic_slice_in_dim(suma_g, mc, mb)
+            y_m = lax.dynamic_slice_in_dim(Y_l, mc, mb)
+            s2_m = lax.dynamic_slice_in_dim(S2_l, mc, mb)
+
+            # device 0 opens every micro-batch from the neutral carry;
+            # everyone else continues from the upstream block's carry
+            carry_in = jax.tree.map(
+                lambda nz, rc: jnp.where(me == 0, nz, rc),
+                neutral, carry_recv,
+            )
+            carry_out, ld, qd, md = jax.vmap(run_block)(
+                carry_in, am, bm, cm, dm, sm, y_m, s2_m)
+
+            upd = lambda A, v: lax.dynamic_update_slice_in_dim(
+                A, jnp.where(active, v,
+                             lax.dynamic_slice_in_dim(A, mc, mb)), mc, 0)
+            ld_acc = upd(ld_acc, ld)
+            qd_acc = upd(qd_acc, qd)
+            md_acc = upd(md_acc, md)
+            # idle devices forward junk that no active device ever reads
+            carry_send = jax.tree.map(
+                lambda co_, rc: jnp.where(active, co_, rc),
+                carry_out, carry_recv,
+            )
+            carry_next = jax.tree.map(
+                lambda x: lax.ppermute(x, axis_name, perm), carry_send
+            )
+            return carry_next, ld_acc, qd_acc, md_acc
+
+        zero_b = jnp.zeros((B,), dtype)
+        state0 = (neutral, zero_b, zero_b, jnp.full((B,), jnp.inf, dtype))
+        _, ld_acc, qd_acc, md_acc = lax.fori_loop(
+            0, M + n_dev - 1, round_body, state0)
+
+        logdet = lax.psum(ld_acc, axis_name)
+        quad = lax.psum(qd_acc, axis_name)
+        minD = lax.pmin(lax.stop_gradient(md_acc), axis_name)
+        ll = -0.5 * logdet - 0.5 * N * jnp.log(2.0 * jnp.pi) - 0.5 * quad
+        ok = (minD > 0) & jnp.isfinite(ll)
+        return jnp.where(ok, ll, -jnp.inf)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name),
+                  P(None, axis_name), P(None, axis_name),
+                  P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(t, dt, Y, S2, a, b, c, d, suma)

@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["run_chees", "chees_warmup_and_sample"]
+__all__ = ["run_chees", "run_chees_stepped", "chees_warmup_and_sample",
+           "make_chees_transition"]
 
 
 def _halton(i, base: int = 2, num_bits: int = 30):
@@ -60,34 +61,25 @@ def _adam_update(state: _AdamState, grad, lr=0.025, b1=0.9, b2=0.999, eps=1e-8):
     return _AdamState(m, v, t), lr * mhat / (jnp.sqrt(vhat) + eps)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("logp_fn", "num_warmup", "num_samples", "max_leapfrogs",
-                     "logp_batch_fn"),
-)
-def run_chees(
+def make_chees_transition(
     logp_fn: Callable,
-    z0,
-    key,
-    num_warmup: int = 500,
-    num_samples: int = 1000,
-    initial_step_size: float = 0.1,
-    initial_traj_length: float = 1.0,
+    C: int,
+    dim: int,
+    dtype,
+    num_warmup: int,
     target_accept: float = 0.651,
     max_leapfrogs: int = 1024,
     logp_batch_fn: Callable = None,
 ):
-    """Run ChEES-HMC on a (C, dim) batch of chains.
+    """The ChEES-HMC transition kernel as a pure (carry, (it, warm)) ->
+    (carry, out) function, plus its initializer.
 
-    ``z0``: (C, dim) initial positions (shard the C axis for multi-chip).
-    ``logp_batch_fn`` (optional): batched (C, dim) -> (C,) log-posterior;
-    when given, every leapfrog evaluates values AND per-chain gradients
-    through it in one vjp (chains decouple) — pass a Pallas-backed
-    likelihood so the forward rides the fused kernel.
-    Returns (samples [num_samples, C, dim], stats).
-    """
-    C, dim = z0.shape
-    dtype = z0.dtype
+    Factored out so the same kernel runs either as one fused
+    ``lax.scan`` program (:func:`run_chees` — fastest) or one jitted
+    call per iteration from a host loop (:func:`run_chees_stepped` —
+    survives RPC layers that kill multi-minute XLA programs, and the
+    monolithic-scan remote-compile limit)."""
+    dtype = jnp.dtype(dtype)
     if logp_batch_fn is None:
         batch_logp_grad = jax.vmap(jax.value_and_grad(logp_fn))
     else:
@@ -192,15 +184,55 @@ def run_chees(
         out = (z_next, logp_next, mean_accept, n_steps)
         return carry, out
 
-    logp0, grad0 = batch_logp_grad(z0)
-    ls0 = jnp.log(jnp.asarray(initial_step_size, dtype))
-    da0 = (ls0, ls0, jnp.zeros((), dtype), jnp.log(10.0) + ls0, jnp.zeros((), dtype))
-    adam0 = _AdamState(jnp.zeros((), dtype), jnp.zeros((), dtype), jnp.zeros((), jnp.int32))
-    carry = (
-        z0, logp0, grad0, jnp.asarray(initial_step_size, dtype),
-        jnp.log(jnp.asarray(initial_traj_length, dtype)), adam0, da0,
-        jnp.ones((dim,), dtype), jnp.ones((dim,), dtype), key,
+    def init(z0, key, initial_step_size=0.1, initial_traj_length=1.0):
+        logp0, grad0 = batch_logp_grad(z0)
+        ls0 = jnp.log(jnp.asarray(initial_step_size, dtype))
+        da0 = (ls0, ls0, jnp.zeros((), dtype), jnp.log(10.0) + ls0,
+               jnp.zeros((), dtype))
+        adam0 = _AdamState(jnp.zeros((), dtype), jnp.zeros((), dtype),
+                           jnp.zeros((), jnp.int32))
+        return (
+            z0, logp0, grad0, jnp.asarray(initial_step_size, dtype),
+            jnp.log(jnp.asarray(initial_traj_length, dtype)), adam0, da0,
+            jnp.ones((dim,), dtype), jnp.ones((dim,), dtype), key,
+        )
+
+    return transition, init
+
+
+@partial(
+    jax.jit,
+    static_argnames=("logp_fn", "num_warmup", "num_samples", "max_leapfrogs",
+                     "logp_batch_fn"),
+)
+def run_chees(
+    logp_fn: Callable,
+    z0,
+    key,
+    num_warmup: int = 500,
+    num_samples: int = 1000,
+    initial_step_size: float = 0.1,
+    initial_traj_length: float = 1.0,
+    target_accept: float = 0.651,
+    max_leapfrogs: int = 1024,
+    logp_batch_fn: Callable = None,
+):
+    """Run ChEES-HMC on a (C, dim) batch of chains.
+
+    ``z0``: (C, dim) initial positions (shard the C axis for multi-chip).
+    ``logp_batch_fn`` (optional): batched (C, dim) -> (C,) log-posterior;
+    when given, every leapfrog evaluates values AND per-chain gradients
+    through it in one vjp (chains decouple) — pass a Pallas-backed
+    likelihood so the forward rides the fused kernel.
+    Returns (samples [num_samples, C, dim], stats).
+    """
+    C, dim = z0.shape
+    dtype = z0.dtype
+    transition, init = make_chees_transition(
+        logp_fn, C, dim, dtype, num_warmup, target_accept, max_leapfrogs,
+        logp_batch_fn,
     )
+    carry = init(z0, key, initial_step_size, initial_traj_length)
     total = num_warmup + num_samples
     its = jnp.arange(total)
     warm = its < num_warmup
@@ -216,6 +248,61 @@ def run_chees(
         "inv_mass": carry[7],
     }
     return samples, stats
+
+
+def run_chees_stepped(
+    logp_fn: Callable,
+    z0,
+    key,
+    num_warmup: int = 500,
+    num_samples: int = 1000,
+    initial_step_size: float = 0.1,
+    initial_traj_length: float = 1.0,
+    target_accept: float = 0.651,
+    max_leapfrogs: int = 1024,
+    logp_batch_fn: Callable = None,
+    thin: int = 1,
+):
+    """:func:`run_chees`, but one jitted transition per HOST iteration.
+
+    Same kernel, same adaptation, same statistics — only the iteration
+    loop moves to the host, so no single XLA program runs longer than
+    one transition. Use on environments whose RPC layer kills
+    multi-minute device programs (the axon TPU tunnel) or whose remote
+    compiler rejects the monolithic scan. ``thin`` keeps every
+    ``thin``-th post-warmup draw (host memory control for big C).
+    Returns (samples [S, C, dim] numpy, stats) matching run_chees.
+    """
+    import numpy as np
+
+    C, dim = z0.shape
+    dtype = z0.dtype
+    transition, init = make_chees_transition(
+        logp_fn, C, dim, dtype, num_warmup, target_accept, max_leapfrogs,
+        logp_batch_fn,
+    )
+    trans = jax.jit(transition)
+    carry = init(z0, key, initial_step_size, initial_traj_length)
+    total = num_warmup + num_samples
+    samples, logps, accepts, nsteps = [], [], [], []
+    for it in range(total):
+        carry, out = trans(
+            carry, (jnp.asarray(it), jnp.asarray(it < num_warmup)))
+        z_it, logp_it, acc_it, n_it = out
+        accepts.append(float(acc_it))
+        nsteps.append(int(n_it))
+        if it >= num_warmup and (it - num_warmup) % thin == 0:
+            samples.append(np.asarray(z_it))
+            logps.append(np.asarray(logp_it))
+    stats = {
+        "logp": np.asarray(logps),
+        "accept": np.asarray(accepts),
+        "n_leapfrogs": np.asarray(nsteps),
+        "step_size": float(carry[3]),
+        "traj_length": float(jnp.exp(carry[4])),
+        "inv_mass": np.asarray(carry[7]),
+    }
+    return np.stack(samples), stats
 
 
 # Alias with a descriptive name

@@ -283,3 +283,104 @@ def test_run_inference_nuts_mesh(mesh):
     post_mean = np.asarray([0.4, -0.3, 0.1]) * post_var / 0.35**2
     np.testing.assert_allclose(res["posterior"]["mean"], post_mean, atol=0.1)
     assert res["ncall"] > 0 and np.all(np.asarray(res["rhat"]) < 1.1)
+
+
+def test_seq_pipelined_batch_matches_vmapped_scan():
+    """Pipelined chain-batch sequence sharding (parallel/seq_scan.py
+    logl_seq_pipelined): B=16 chains through 8 time blocks in
+    M + n_dev - 1 rounds; values must equal vmapped ops.celerite.logl."""
+    from pioran_tpu.ops import celerite as cel
+    from pioran_tpu.parallel.seq_scan import logl_seq_pipelined
+    from pioran_tpu.parallel import make_mesh
+
+    mesh = make_mesh("seq")
+    rng = np.random.default_rng(5)
+    B, J, N = 16, 3, 1024
+    t = jnp.asarray(np.sort(rng.uniform(0, 200, N)))
+    a = jnp.asarray(np.abs(rng.normal(0.5, 0.2, (B, J))))
+    b = jnp.asarray(0.1 * np.abs(rng.normal(0.2, 0.1, (B, J))))
+    c = jnp.asarray(np.abs(rng.normal(0.5, 0.2, (B, J))))
+    d = jnp.asarray(np.abs(rng.normal(0.3, 0.1, (B, J))))
+    Y = jnp.asarray(rng.normal(0, 1, (B, N)))
+    S2 = jnp.asarray(0.1 + 0.02 * np.abs(rng.normal(size=(B, N))))
+
+    ll = jax.jit(
+        lambda *ar: logl_seq_pipelined(*ar, mesh=mesh, n_micro=4)
+    )(a, b, c, d, t, Y, S2)
+    ref = jax.vmap(lambda aa, bb, cc, dd, yy, ss: cel.logl(
+        aa, bb, cc, dd, t, yy, ss))(a, b, c, d, Y, S2)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ref), rtol=1e-10)
+
+
+def test_seq_sharded_gradient_matches_scan():
+    """Reverse-mode through the blockwise ppermute scan
+    (fori_loop + cond + ppermute) == jax.grad of the single-chip scan —
+    the sequence axis is differentiable, so HMC-family samplers can use
+    it (VERDICT r3 weak item 1)."""
+    from pioran_tpu.ops import celerite as cel
+    from pioran_tpu.parallel.seq_scan import logl_seq_sharded
+    from pioran_tpu.parallel import make_mesh
+
+    mesh = make_mesh("seq")
+    rng = np.random.default_rng(6)
+    J, N = 3, 512
+    t = jnp.asarray(np.sort(rng.uniform(0, 100, N)))
+    a = jnp.asarray(np.abs(rng.normal(0.5, 0.2, J)))
+    b = jnp.asarray(0.1 * np.abs(rng.normal(0.2, 0.1, J)))
+    c = jnp.asarray(np.abs(rng.normal(0.5, 0.2, J)))
+    d = jnp.asarray(np.abs(rng.normal(0.3, 0.1, J)))
+    y = jnp.asarray(rng.normal(0, 1, N))
+    s2 = jnp.asarray(0.1 + 0.02 * np.abs(rng.normal(size=N)))
+
+    g_seq = jax.jit(jax.grad(
+        lambda aa, cc, yy: logl_seq_sharded(aa, b, cc, d, t, yy, s2, mesh),
+        argnums=(0, 1, 2)))(a, c, y)
+    g_ref = jax.grad(
+        lambda aa, cc, yy: cel.logl(aa, b, cc, d, t, yy, s2),
+        argnums=(0, 1, 2))(a, c, y)
+    for gs, gr in zip(g_seq, g_ref):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gr),
+                                   rtol=1e-7, atol=1e-9)
+
+
+def test_long_n_inference_end_to_end_seq_sharded():
+    """VERDICT r3 item 4 'done' criterion: an N = 2^17 light curve runs
+    through run_inference on the 8-device mesh with the TIME axis
+    sharded — the scalar likelihood via the blockwise ppermute scan
+    (auto-dispatched by cel.logl(mesh=...)), the sampler sweeps via the
+    pipelined chain-micro-batch variant. Small SMC budget: this pins
+    reachability and numerical agreement, not posterior quality."""
+    from pioran_tpu.ops import celerite as cel
+    from pioran_tpu.inference import single_bending_model, run_inference
+    from pioran_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    N = 2**17
+    t = np.cumsum(0.5 + rng.exponential(0.5, N))
+    t -= t[0]
+    x = np.empty(N)
+    x[0] = 0.0
+    phi = 0.995
+    for i in range(1, N):
+        x[i] = phi * x[i - 1] + 0.05 * rng.normal()
+    y = np.exp(0.3 * x)
+    yerr = 0.02 * y
+    xbar = float(np.mean(np.log(y)))
+    va = float(np.var(np.log(y)))
+
+    mesh = make_mesh("seq")
+    spec = single_bending_model(t, y, yerr, xbar, va, n_components=4,
+                                seq_mesh=mesh)
+    th = jnp.asarray([0.5, 2.5, 0.001, 0.05, 1.0, xbar])
+    ll_sharded = float(spec.loglike(th))
+    # unsharded oracle at the same point
+    spec_plain = single_bending_model(t, y, yerr, xbar, va, n_components=4)
+    ll_plain = float(spec_plain.loglike(th))
+    assert np.isfinite(ll_sharded)
+    np.testing.assert_allclose(ll_sharded, ll_plain, rtol=1e-12)
+
+    res = run_inference(spec, sampler="smc", key=jax.random.PRNGKey(0),
+                        num_particles=16, num_moves=1, smc_move="rwm")
+    assert np.isfinite(res["logz"])
+    assert np.all(np.isfinite(res["samples"]))
+    assert np.all(np.asarray(res["samples"])[:, 3] > 0)  # variance > 0

@@ -167,3 +167,24 @@ def test_chees_batched_logp_matches_vmapped():
                       logp_batch_fn=logp_batch)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_chees_stepped_matches_scan_version():
+    """Host-stepped ChEES (one jitted transition per iteration) produces
+    the same draws as the fused-scan version given the same key — it is
+    the same kernel (samplers/chees.py make_chees_transition)."""
+    from pioran_tpu.samplers.chees import run_chees, run_chees_stepped
+
+    cov = jnp.array([[1.5, 0.7], [0.7, 1.0]])
+    prec = jnp.linalg.inv(cov)
+    logp = lambda z: -0.5 * z @ prec @ z
+    C = 8
+    z0 = jax.random.normal(jax.random.PRNGKey(0), (C, 2))
+    key = jax.random.PRNGKey(1)
+    s_scan, st_scan = run_chees(logp, z0, key, num_warmup=60, num_samples=40)
+    s_step, st_step = run_chees_stepped(
+        logp, z0, key, num_warmup=60, num_samples=40)
+    np.testing.assert_allclose(np.asarray(s_scan), s_step, rtol=1e-8,
+                               atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(st_scan["n_leapfrogs"]), st_step["n_leapfrogs"])
