@@ -72,6 +72,22 @@ def load_dataset(name):
     return stored, A[:, 0], A[:, 1], A[:, 2], xbar, va
 
 
+def load_referee(name):
+    """The committed importance-sampling referee for this dataset, if
+    any (tests/tools/is_referee.py). The referee is the width/mean
+    ground truth: on simu_single it showed the STORED ultranest run's
+    f1 width is 0.61x the true posterior width (~30 IS standard errors
+    low) while our samplers sit within a few % — so parity gates widths
+    against the referee, not the stored run."""
+    path = os.path.join(TESTDATA, DATASETS[name]["dir"], "is_referee.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        ref = json.load(fh)
+    # an IS referee is only trustworthy with real effective sample size
+    return ref if ref.get("ess", 0.0) > 500.0 else None
+
+
 def build_spec(name, t, y, yerr, xbar, va):
     from pioran_tpu.inference import (
         double_bending_model,
@@ -87,6 +103,131 @@ def build_spec(name, t, y, yerr, xbar, va):
     }
     kwargs = DATASETS[name].get("kwargs", {})
     return builders[name](t, y, yerr, xbar, va, **kwargs)
+
+
+def run_carma(args, summary):
+    """CARMA(2,1) self-consistency parity (no stored reference posterior
+    exists for CARMA — reference test/test_carma.jl:62-69 pins only
+    coefficients, docs/src/carma.md only the workflow). Gates: NS and
+    SMC agree on logZ (within combined logzerr-scale tolerance) and on
+    every posterior moment (cross-sampler pull < 0.5 combined sd,
+    width ratios in [0.75, 1.33]); the ML point is re-checkable on CPU
+    f64 by tests/test_tpu_artifacts.py."""
+    import jax
+    import numpy as np
+
+    from pioran_tpu.inference import carma_model, run_inference
+
+    stored, t, y, yerr, xbar, va = load_dataset("single")
+    spec = carma_model(t, y, yerr, xbar, va, p=2, q=1)
+    results = {}
+    for sampler in ("ns", "smc"):
+        tag = f"carma_{sampler}"
+        log_dir = os.path.join(args.out, tag)
+        print(f"== {tag}: N={len(t)} params={len(spec.names)} CARMA(2,1)")
+        t0 = time.time()
+        res = run_inference(
+            spec, sampler=sampler, key=jax.random.PRNGKey(args.seed),
+            num_particles=args.particles, num_moves=args.moves,
+            log_dir=log_dir, resume=args.resume,
+        )
+        res["wall_s"] = time.time() - t0
+        results[sampler] = res
+
+    m_ns = np.asarray(results["ns"]["posterior"]["mean"])
+    m_smc = np.asarray(results["smc"]["posterior"]["mean"])
+    s_ns = np.asarray(results["ns"]["posterior"]["stdev"])
+    s_smc = np.asarray(results["smc"]["posterior"]["stdev"])
+    comb = np.sqrt(s_ns**2 + s_smc**2)
+    cross_pull = np.abs(m_ns - m_smc) / comb
+    width_ratio = s_ns / s_smc
+    logz_diff = results["ns"]["logz"] - results["smc"]["logz"]
+    ok = (abs(logz_diff) < 1.5
+          and float(cross_pull.max()) < 0.5
+          and bool(np.all((width_ratio > 0.75) & (width_ratio < 1.33))))
+    for sampler in ("ns", "smc"):
+        res = results[sampler]
+        entry = {
+            "dataset": "carma", "sampler": sampler, "pq": [2, 1],
+            "n_points": int(len(t)),
+            "wall_s": round(res["wall_s"], 2),
+            "logz": res["logz"],
+            "logz_diff_cross_sampler": logz_diff,
+            "cross_sampler_max_pull": float(cross_pull.max()),
+            "cross_sampler_pulls": cross_pull.round(4).tolist(),
+            "cross_sampler_width_ratio": width_ratio.round(4).tolist(),
+            "ess": res.get("ess"),
+            "ncall": res.get("ncall"),
+            "ml_logl": res["maximum_likelihood"]["logl"],
+            "ml_point": res["maximum_likelihood"]["point"],
+            "paramnames": spec.names,
+            "pass": bool(ok),
+        }
+        if sampler == "ns" and "insertion_order_MWW_test" in res:
+            entry["insertion_order_MWW_test"] = res[
+                "insertion_order_MWW_test"]
+        summary["runs"][f"carma_{sampler}"] = entry
+    print(f"   carma: logz_ns-logz_smc {logz_diff:+.3f} max cross pull "
+          f"{cross_pull.max():.3f} -> {'PASS' if ok else 'FAIL'}")
+
+
+def run_longn(args, summary):
+    """Long-N f32 parity (VERDICT r3 item 3): SMC on the committed
+    N = 2^14 synthetic light curve (tests/tools/make_longn.py, known
+    generative truth) on the TPU in f32. Gates: the posterior covers
+    the truth (pulls < 4 sd — a single realisation can legitimately sit
+    2-3 sd out on some axis) and the ML-point likelihood recomputes on
+    CPU f64 to within 1 nat (tests/test_tpu_artifacts.py) — the
+    long-series accuracy the Kahan-compensated kernels buy."""
+    import jax
+    import numpy as np
+
+    from pioran_tpu.inference import run_inference, single_bending_model
+
+    path = os.path.join(TESTDATA, "simu_longn", "longn_time_series.txt")
+    A = np.loadtxt(path)
+    truth = {}
+    xbar = va = None
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("#truth: "):
+                for kv in line[len("#truth: "):].split():
+                    k, v = kv.split("=")
+                    truth[k] = float(v)
+            elif line.startswith("#mean: "):
+                left, right = line[len("#mean: "):].split(" va: ")
+                xbar, va = float(left), float(right)
+    spec = single_bending_model(A[:, 0], A[:, 1], A[:, 2], xbar, va)
+    tag = "longn_smc"
+    print(f"== {tag}: N={len(A)} (long-N f32 gate)")
+    t0 = time.time()
+    res = run_inference(
+        spec, sampler="smc", key=jax.random.PRNGKey(args.seed),
+        num_particles=args.particles, num_moves=args.moves,
+        smc_move="rwm", log_dir=os.path.join(args.out, tag),
+    )
+    wall = time.time() - t0
+    mean = np.asarray(res["posterior"]["mean"])
+    std = np.asarray(res["posterior"]["stdev"])
+    tv = np.asarray([truth["alpha1"], truth["alpha2"], truth["f1"],
+                     truth["variance"], truth["nu"], truth["mu"]])
+    pull_truth = np.abs(mean - tv) / std
+    ok = bool(np.all(pull_truth < 4.0))
+    entry = {
+        "dataset": "longn", "sampler": "smc", "n_points": int(len(A)),
+        "wall_s": round(wall, 2),
+        "logz": res["logz"],
+        "truth_spec_order": tv.tolist(),
+        "pull_vs_truth": pull_truth.round(3).tolist(),
+        "max_pull_vs_truth": float(pull_truth.max()),
+        "ml_logl": res["maximum_likelihood"]["logl"],
+        "ml_point": res["maximum_likelihood"]["point"],
+        "ncall": res.get("ncall"),
+        "pass": ok,
+    }
+    summary["runs"][tag] = entry
+    print(f"   longn: max pull vs truth {pull_truth.max():.2f} "
+          f"wall {wall:.1f}s -> {'PASS' if ok else 'FAIL'}")
 
 
 def main():
@@ -132,6 +273,12 @@ def main():
             summary["runs"].update(prev.get("runs", {}))
 
     for name in args.datasets.split(","):
+        if name == "carma":
+            run_carma(args, summary)
+            continue
+        if name == "longn":
+            run_longn(args, summary)
+            continue
         stored, t, y, yerr, xbar, va = load_dataset(name)
         spec = build_spec(name, t, y, yerr, xbar, va)
         cfg = DATASETS[name]
@@ -172,9 +319,30 @@ def main():
                 "ml_logl": res["maximum_likelihood"]["logl"],
                 "ml_logl_ref": stored["maximum_likelihood"]["logl"],
             }
+            if sampler == "ns" and "insertion_order_MWW_test" in res:
+                entry["insertion_order_MWW_test"] = res[
+                    "insertion_order_MWW_test"]
+            referee = load_referee(name)
+            if referee is not None:
+                is_mean = np.asarray(referee["is_mean"])
+                is_std = np.asarray(referee["is_std"])
+                entry["referee_ess"] = referee["ess"]
+                entry["pull_vs_referee"] = (
+                    np.abs(ours_mean - is_mean) / is_std).round(4).tolist()
+                entry["max_pull_referee"] = float(
+                    np.max(np.abs(ours_mean - is_mean) / is_std))
+                entry["width_ratio_referee"] = (
+                    ours_std / is_std).round(4).tolist()
             ok = (entry["logz_diff"] is None
                   or abs(entry["logz_diff"]) < cfg["logz_tol"]) and \
                 entry["max_pull"] < cfg["pull_tol"]
+            if referee is not None:
+                wrr = np.asarray(entry["width_ratio_referee"])
+                # tight gates vs the ground-truth referee: means within
+                # 0.5 sd, widths within [0.8, 1.25] (observed: <=0.06 sd
+                # and ~3% on single_ns at 1024 live points)
+                ok = ok and entry["max_pull_referee"] < 0.5
+                ok = ok and bool(np.all((wrr > 0.8) & (wrr < 1.25)))
             entry["pass"] = bool(ok)
             summary["runs"][tag] = entry
             print(f"   logZ {entry['logz']} (ref {entry['logz_ref']}, "

@@ -69,56 +69,13 @@ def test_loglike_at_stored_posterior_mean(stored, subset):
     assert ml - 25.0 < ll <= ml + 1e-6, (ll, ml)
 
 
-@pytest.mark.slow
-def test_smc_posterior_matches_ultranest(stored, subset):
-    """SMC moments vs ultranest moments, within combined MC error.
-
-    Marked slow (MALA SMC on CPU f64 takes ~10 min); run explicitly with
-    ``pytest -m slow tests/test_inference_parity.py``. The fast proxy in
-    the default suite is test_loglike_at_stored_posterior_mean (exact
-    likelihood parity) + the TPU driver runs recorded in BENCH notes."""
-    from pioran_tpu.inference import run_inference, single_bending_model
-
-    t, y, yerr, xbar, va = subset
-    spec = single_bending_model(t, y, yerr, xbar, va)
-    res = run_inference(
-        spec, sampler="smc", key=jax.random.PRNGKey(3),
-        num_particles=1024, num_moves=8, smc_move="mala",
-    )
-    # spec order -> stored order
-    ours_mean = np.asarray(res["posterior"]["mean"])[[0, 2, 1, 3, 4, 5]]
-    ours_std = np.asarray(res["posterior"]["stdev"])[[0, 2, 1, 3, 4, 5]]
-    ref_mean = np.asarray(stored["posterior"]["mean"])
-    ref_std = np.asarray(stored["posterior"]["stdev"])
-    # every marginal mean within 0.6 posterior-sd of the stored mean
-    pull = np.abs(ours_mean - ref_mean) / ref_std
-    assert np.all(pull < 0.75), (ours_mean, ref_mean, pull)
-    # posterior widths agree to a factor ~1.6
-    ratio = ours_std / ref_std
-    assert np.all((ratio > 0.6) & (ratio < 1.6)), ratio
-    # evidence within ~3x the reference's own logzerr
-    assert abs(res["logz"] - stored["logz"]) < 1.0, (res["logz"], stored["logz"])
-
-
-@pytest.mark.slow
-def test_ns_evidence_and_posterior_match_ultranest(stored, subset):
-    """Nested sampling (the direct ultranest analog) on the stored
-    subset: logZ within the combined error budget and marginals within
-    the stored run's own bias envelope (see module docstring)."""
-    from pioran_tpu.inference import run_inference, single_bending_model
-
-    t, y, yerr, xbar, va = subset
-    spec = single_bending_model(t, y, yerr, xbar, va)
-    res = run_inference(
-        spec, sampler="ns", key=jax.random.PRNGKey(7), num_particles=1024,
-    )
-    assert abs(res["logz"] - stored["logz"]) < 1.0, (res["logz"], stored["logz"])
-    assert res["ess"] > 1000
-    ours_mean = np.asarray(res["posterior"]["mean"])[[0, 2, 1, 3, 4, 5]]
-    ref_mean = np.asarray(stored["posterior"]["mean"])
-    ref_std = np.asarray(stored["posterior"]["stdev"])
-    pull = np.abs(ours_mean - ref_mean) / ref_std
-    assert np.all(pull < 0.75), (ours_mean, ref_mean, pull)
+# NOTE r4: the former slow CPU reruns of SMC/NS posterior parity were
+# deleted in favor of the committed on-TPU artifact gates
+# (artifacts/tpu_parity + tests/test_tpu_artifacts.py): the artifacts
+# are regenerated on the real chip by examples/tpu_parity.py, validated
+# (incl. an ML-point recompute tying them to this code) in the default
+# suite, and calibrated by the 10^6-draw IS referee — strictly stronger
+# evidence than a deselected CPU test nobody ran.
 
 
 def test_advi_lower_bounds_stored_logz(stored, subset):

@@ -59,11 +59,24 @@ def test_ns_parity_gates(summary, name, sampler):
     assert entry["pass"], entry
     assert abs(entry["logz_diff"]) < entry["logz_tol"], entry
     assert entry["max_pull"] < entry["pull_tol"], entry
-    # posterior widths within a factor ~2 of the stored run (dispersion
-    # sanity, not the parity gate; observed max 1.86 on double_smc's
-    # bend-frequency marginal)
+    # Width gates. Ground truth is the committed 10^6-draw IS referee
+    # (tests/tools/is_referee.py): gate widths TIGHTLY against it.
+    # The stored-ultranest width ratio stays a loose sanity bound only,
+    # because the referee showed the stored runs themselves are
+    # underdispersed (simu_single f1 width = 0.61x referee, ~30 IS
+    # standard errors low — our samplers sit within a few %, which is
+    # exactly why the ultranest-relative ratio reads ~1.6 there).
     wr = np.asarray(entry["width_ratio"])
     assert np.all((wr > 0.5) & (wr < 2.0)), wr
+    if "width_ratio_referee" in entry:
+        wrr = np.asarray(entry["width_ratio_referee"])
+        assert np.all((wrr > 0.8) & (wrr < 1.25)), wrr
+        assert entry["max_pull_referee"] < 0.5, entry["max_pull_referee"]
+    if sampler == "ns" and "insertion_order_MWW_test" in entry:
+        # the real insertion-rank uniformity diagnostic must pass on
+        # the committed runs (ultranest reports the same field)
+        assert entry["insertion_order_MWW_test"]["converged"], entry[
+            "insertion_order_MWW_test"]
 
 
 @pytest.mark.parametrize("name", ["single", "double", "periodic", "docs"])
@@ -143,3 +156,82 @@ def test_kernel_check_tolerances():
     for name, case in rep["cases"].items():
         assert case["max_rel_err_loglike"] < case["tol_loglike"], (name, case)
         assert case["max_rel_err_grad"] < case["tol_grad"], (name, case)
+
+
+def test_carma_parity_self_consistency(summary):
+    """Committed CARMA(2,1) on-TPU runs: NS and SMC must agree
+    (no stored reference posterior exists for CARMA — the reference
+    pins only coefficients, test/test_carma.jl:62-69)."""
+    runs = {k: v for k, v in summary["runs"].items()
+            if v["dataset"] == "carma"}
+    if not runs:
+        pytest.skip("no committed CARMA parity runs")
+    assert set(r["sampler"] for r in runs.values()) == {"ns", "smc"}
+    for entry in runs.values():
+        assert entry["pass"], entry
+        assert abs(entry["logz_diff_cross_sampler"]) < 1.5
+        assert entry["cross_sampler_max_pull"] < 0.5
+        wr = np.asarray(entry["cross_sampler_width_ratio"])
+        assert np.all((wr > 0.75) & (wr < 1.33)), wr
+
+
+def test_carma_ml_point_recompute():
+    """Recompute the committed CARMA run's ML likelihood on CPU f64 —
+    ties the artifact to this code's CARMA chain (partial fractions +
+    real-arithmetic celerite map, models/carma.py)."""
+    path = os.path.join(ART, "summary.json")
+    if not os.path.exists(path):
+        pytest.skip("no committed TPU artifacts")
+    with open(path) as fh:
+        summary = json.load(fh)
+    entry = summary["runs"].get("carma_ns")
+    if entry is None:
+        pytest.skip("no committed CARMA NS run")
+    import jax
+    import jax.numpy as jnp
+
+    from pioran_tpu.inference import carma_model
+
+    sub = np.loadtxt(os.path.join(
+        DATA, "simu_single", "simu_single_subset_time_series.txt"))
+    xbar = va = None
+    with open(os.path.join(
+            DATA, "simu_single", "simu_single_subset_time_series.txt")) as fh:
+        for line in fh:
+            if line.startswith("#mean: "):
+                left, right = line[len("#mean: "):].split(" va: ")
+                xbar, va = float(left), float(right)
+                break
+    spec = carma_model(sub[:, 0], sub[:, 1], sub[:, 2], xbar, va, p=2, q=1)
+    ll = float(jax.jit(spec.loglike)(jnp.asarray(entry["ml_point"])))
+    assert abs(ll - entry["ml_logl"]) < 0.3, (ll, entry["ml_logl"])
+
+
+def test_longn_f32_parity(summary):
+    """Committed long-N (N=2^14) f32 SMC artifact: posterior covers the
+    generative truth, and the ML-point likelihood recomputes on CPU f64
+    within 1 nat — the long-series f32 accuracy the Kahan-compensated
+    accumulators provide (pre-compensation the r3 grid showed ~N eps
+    error growth, ~30 nats at this N and logl scale)."""
+    entry = summary["runs"].get("longn_smc")
+    if entry is None:
+        pytest.skip("no committed long-N run")
+    assert entry["pass"], entry
+    assert entry["max_pull_vs_truth"] < 4.0
+
+    import jax
+    import jax.numpy as jnp
+
+    from pioran_tpu.inference import single_bending_model
+
+    path = os.path.join(DATA, "simu_longn", "longn_time_series.txt")
+    A = np.loadtxt(path)
+    xbar = va = None
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("#mean: "):
+                left, right = line[len("#mean: "):].split(" va: ")
+                xbar, va = float(left), float(right)
+    spec = single_bending_model(A[:, 0], A[:, 1], A[:, 2], xbar, va)
+    ll = float(jax.jit(spec.loglike)(jnp.asarray(entry["ml_point"])))
+    assert abs(ll - entry["ml_logl"]) < 1.0, (ll, entry["ml_logl"])
