@@ -171,10 +171,19 @@ def main():
                 except Exception as e:  # noqa: BLE001
                     cell["pallas_evals_per_s"] = f"{type(e).__name__}"
                 try:
-                    if fits_vmem(J, n=N, batch=B):
+                    # the adjoint's residual tables are O(B N J) in HBM:
+                    # shrink the gradient batch until they fit (long-N
+                    # grads trade batch for length; r4's segmented
+                    # kernels removed the old N<=4096 compile limit)
+                    Bg = B
+                    while Bg >= 128 and not fits_vmem(J, n=N, batch=Bg):
+                        Bg //= 2
+                    if fits_vmem(J, n=N, batch=Bg):
                         gf = jax.jit(value_and_grad_tables)
-                        dtg = timeit(gf, A, Bc, Cc, Dc, t, Y, S2)
-                        cell["pallas_grad_evals_per_s"] = round(B / dtg, 1)
+                        dtg = timeit(gf, A[:Bg], Bc[:Bg], Cc[:Bg], Dc[:Bg],
+                                     t, Y[:Bg], S2[:Bg])
+                        cell["pallas_grad_batch"] = Bg
+                        cell["pallas_grad_evals_per_s"] = round(Bg / dtg, 1)
                 except Exception as e:  # noqa: BLE001
                     cell["pallas_grad_evals_per_s"] = f"{type(e).__name__}"
             rows.append(cell)

@@ -68,7 +68,12 @@ def auto_tiles(J):
     """
     J8 = -(-J // 8) * 8
     if J8 <= 24:
-        return 128, 16, 8
+        # r4: kc = 4 (was 8) — the segmented kernels' carry-in blocks
+        # (Mbar/cpre on the backward, S/fW/acc on the forward) cost
+        # ~0.9 MB of VMEM, so the Tst recompute store shrinks to keep a
+        # comfortable margin under the 16 MB scoped-vmem limit; the
+        # checkpoint HBM doubles (accounted in fits_vmem).
+        return 128, 8, 4
     # larger J: the kc T-store + Mbar + live temporaries exceed the
     # 16 MB VMEM (lane blocks must stay multiples of 128, so narrowing
     # the batch tile is not an option, and shrinking kc multiplies the
@@ -98,8 +103,9 @@ def fits_vmem(J, block_b=None, n=None, batch=None) -> bool:
         _, chunk, kc = tiles
         J8 = -(-J // 8) * 8
         tables = 4.0 * batch * n * (4 * J8 + 2)
-        ckpts = 4.0 * batch * (n / (chunk * kc)) * 3 * J8 * J8
-        if tables + ckpts > 6e9:
+        # one T checkpoint (3 J8^2 floats/lane) every kc steps
+        ckpts = 4.0 * batch * (n / kc) * 3 * J8 * J8
+        if tables + ckpts > 10e9:
             return False
     return True
 
@@ -114,10 +120,14 @@ def _fwd_aug_kernel(n_steps, chunk, kc, per_lane_t,
                     a_ref, b_ref, c_ref, d_ref, t_ref, dt_ref, y_ref, s2_ref,
                     suma_ref, nv_ref, sin_ref, fwin_ref, accin_ref,
                     out_ref, w0_ref, w1_ref, p0_ref, p1_ref, dD_ref, zp_ref,
-                    tcp_ref, sout_ref, fwout_ref, accout_ref,
-                    S, fW, acc):
+                    tcp_ref, sout_ref, fwout_ref, accout_ref):
     from jax import lax
     from jax.experimental import pallas as pl
+
+    # the running (S, fW, acc) state lives directly in the carry-out
+    # refs (their block is revisited across the whole time grid), so no
+    # scratch duplicates exist — VMEM is the binding constraint here
+    S, fW, acc = sout_ref, fwout_ref, accout_ref
 
     i_n = pl.program_id(1)
     num_n = pl.num_programs(1)
@@ -228,9 +238,7 @@ def _fwd_aug_kernel(n_steps, chunk, kc, per_lane_t,
         ll = -0.5 * (acc[2, :] + acc[3, :] + nvalid * _LOG2PI)
         ok = (acc[4, :] > 0) & jnp.isfinite(ll)
         out_ref[0, :] = jnp.where(ok, ll, -jnp.inf)
-        sout_ref[...] = S[...]
-        fwout_ref[...] = fW[...]
-        accout_ref[...] = acc[...]
+        # (S, fW, acc) already live in the carry-out refs
 
 
 def _prep(a, b, c, d, t, y, sigma2, block_b, chunk):
@@ -399,11 +407,6 @@ def _fwd_aug_call(aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma, nv_local,
             jax.ShapeDtypeStruct((4, J8, Bp), dtype),
             jax.ShapeDtypeStruct((8, Bp), dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((3, J8, J8, block_b), dtype),
-            pltpu.VMEM((4, J8, block_b), dtype),
-            pltpu.VMEM((8, block_b), dtype),
-        ],
         interpret=interpret,
         **({"compiler_params": compiler_params} if compiler_params else {}),
     )(aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma, nv_local,
@@ -497,7 +500,7 @@ def _bwd_kernel(n_steps, kc, per_lane_t,
                 w0_ref, w1_ref, p0_ref, p1_ref, dD_ref, zp_ref, tcp_ref,
                 ab_ref, bb_ref, cb_ref, db_ref, yb_ref, s2b_ref,
                 tb_ref, dtb_ref, mbout_ref, cpout_ref,
-                Tst, Mb, cpre, coef, acc):
+                Tst, coef, acc):
     """One (batch-block, reverse-KC-chunk) grid step of the adjoint.
 
     Scratch: Tst (KC, 3, J, J, B) recomputed T blocks for this chunk;
@@ -512,6 +515,10 @@ def _bwd_kernel(n_steps, kc, per_lane_t,
     """
     from jax import lax
     from jax.experimental import pallas as pl
+
+    # the (Mbar, cpre) cotangent carry lives directly in the carry-out
+    # refs (revisited block across the reverse grid) — no scratch copy
+    Mb, cpre = mbout_ref, cpout_ref
 
     i_r = pl.program_id(1)            # 0 .. Np/kc - 1, reverse order
     num_r = pl.num_programs(1)
@@ -714,8 +721,7 @@ def _bwd_kernel(n_steps, kc, per_lane_t,
         bb_ref[...] = coef[1]
         cb_ref[...] = coef[2]
         db_ref[...] = coef[3]
-        mbout_ref[...] = Mb[...]
-        cpout_ref[...] = cpre[...]
+        # (Mbar, cpre) already live in the carry-out refs
 
 
 def _bwd_call(aT, bT, cT, dT, tsm, dtsm, suma, gp, nv_local, residuals,
@@ -784,8 +790,6 @@ def _bwd_call(aT, bT, cT, dT, tsm, dtsm, suma, gp, nv_local, residuals,
            jax.ShapeDtypeStruct((2, J8, Bp), dtype)],
         scratch_shapes=[
             pltpu.VMEM((kc, 3, J8, J8, block_b), dtype),
-            pltpu.VMEM((3, J8, J8, block_b), dtype),
-            pltpu.VMEM((2, J8, block_b), dtype),
             pltpu.VMEM((4, J8, block_b), dtype),
             pltpu.VMEM((8, block_b), dtype),
         ],

@@ -78,7 +78,16 @@ def main():
     z_mid = np.asarray(to_u(jnp.asarray(mu_ref)[None, :]))[0]
     z_hi = np.asarray(to_u(jnp.asarray(mu_ref + 0.5 * sd_ref)[None, :]))[0]
     z_lo = np.asarray(to_u(jnp.asarray(mu_ref - 0.5 * sd_ref)[None, :]))[0]
-    z_scale = args.scale * np.abs(z_hi - z_lo)  # ~ args.scale * sd in z
+    # mean +- 0.5 sd can leave an ordered/dependent support (observed:
+    # simu_double's f2 - 0.5 sd < f1) -> NaN on that side; fall back to
+    # the finite side's half-width (or unit scale if both are out)
+    d_hi = np.abs(z_hi - z_mid)
+    d_lo = np.abs(z_mid - z_lo)
+    width = np.where(
+        np.isfinite(d_hi) & np.isfinite(d_lo), d_hi + d_lo,
+        np.where(np.isfinite(d_hi), 2.0 * d_hi,
+                 np.where(np.isfinite(d_lo), 2.0 * d_lo, 1.0)))
+    z_scale = args.scale * width  # ~ args.scale * sd in z-space
     z_scale = np.maximum(z_scale, 1e-3)
     dim = z_mid.size
     dof = args.dof
