@@ -159,14 +159,18 @@ def main():
             return lp + spec.loglike_batch(
                 jax.vmap(prior.from_unconstrained)(Z))
 
-        C = 128
+        # 512 chains fill the Pallas lane blocks (4 x 128) and give the
+        # rank-normalized diagnostics real cross-chain power; 500-step
+        # warmup is what the f1-spans-a-decade posterior needs to pull
+        # prior-scattered chains in (300 left rhat ~ 1.6)
+        C = 512
         k1, k2 = jax.random.split(jax.random.PRNGKey(2))
         z0 = jax.vmap(prior.to_unconstrained)(
             jax.vmap(prior.sample)(jax.random.split(k1, C)))
         t0 = time.perf_counter()
         samples_z, st = run_chees_stepped(
             prior.unconstrained_logpdf, z0, k2,
-            num_warmup=300, num_samples=300, max_leapfrogs=256,
+            num_warmup=500, num_samples=300, max_leapfrogs=128,
             logp_batch_fn=logpost_batch,
         )
         chees_elapsed = time.perf_counter() - t0

@@ -130,6 +130,9 @@ def main():
             A = jnp.tile(a, (B, 1)) * (
                 1 + 0.01 * jax.random.normal(jax.random.PRNGKey(0), (B, J), dtype)
             )
+            # lane 0 carries the unperturbed problem so the Pallas
+            # kernel's own f32 error vs the f64 reference is measurable
+            A = A.at[0].set(a)
             if N <= 2048:
                 vf = jax.jit(jax.vmap(lambda aa: logl(aa, b, c, d, t, y, s2)))
                 dtb = timeit(vf, A)
@@ -158,6 +161,12 @@ def main():
                     dtp = timeit(pf, A, Bc, Cc, Dc, t, Y, S2)
                     cell["pallas_batch"] = B
                     cell["pallas_evals_per_s"] = round(B / dtp, 1)
+                    cell["pallas_val"] = float(
+                        pf(A, Bc, Cc, Dc, t, Y, S2)[0])
+                    if (N, J) in ref_vals:
+                        # the Kahan-compensated kernel's f32 error
+                        cell["pallas_err_vs_ref"] = abs(
+                            cell["pallas_val"] - ref_vals[(N, J)])
                     # roofline accounting for the fused kernel: the
                     # recursion costs ~6 R^2 FLOPs/step (S update 3R^2,
                     # S@U 2R^2, rank-1 epilogues), R = 2J; streamed HBM
@@ -214,19 +223,28 @@ def main():
     # markdown summary (J=20 column, the flagship config)
     lines = [
         "| N | scan ms | kalman_assoc ms | pallas evals/s | "
-        "pallas grad evals/s | TFLOP/s | HBM GB/s | err vs f64 |",
-        "|---|---|---|---|---|---|---|---|",
+        "pallas grad evals/s (batch) | TFLOP/s | HBM GB/s | "
+        "scan err vs f64 | pallas err vs f64 |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
+
+    def _fmt_err(v):
+        return f"{v:.3g}" if isinstance(v, float) else v
+
     for cell in rows:
         if cell["J"] == 20:
+            g = cell.get("pallas_grad_evals_per_s", "-")
+            if "pallas_grad_batch" in cell:
+                g = f"{g} ({cell['pallas_grad_batch']})"
             lines.append(
                 f"| {cell['N']} | {cell['celerite_scan_ms']} | "
                 f"{cell['kalman_assoc_ms']} | "
                 f"{cell.get('pallas_evals_per_s', '-')} | "
-                f"{cell.get('pallas_grad_evals_per_s', '-')} | "
+                f"{g} | "
                 f"{cell.get('pallas_tflops', '-')} | "
                 f"{cell.get('pallas_hbm_gbs', '-')} | "
-                f"{cell.get('err_vs_ref', '-')} |"
+                f"{_fmt_err(cell.get('err_vs_ref', '-'))} | "
+                f"{_fmt_err(cell.get('pallas_err_vs_ref', '-'))} |"
             )
     table = "\n".join(lines)
     print("\n" + table)

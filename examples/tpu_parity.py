@@ -129,6 +129,7 @@ def run_carma(args, summary):
         res = run_inference(
             spec, sampler=sampler, key=jax.random.PRNGKey(args.seed),
             num_particles=args.particles, num_moves=args.moves,
+            num_ns_mcmc=args.ns_mcmc,
             log_dir=log_dir, resume=args.resume,
         )
         res["wall_s"] = time.time() - t0
@@ -237,6 +238,11 @@ def main():
     ap.add_argument("--samplers", default="ns")
     ap.add_argument("--particles", type=int, default=1024)
     ap.add_argument("--moves", type=int, default=12)
+    ap.add_argument("--ns-mcmc", type=int, default=8,
+                    help="slice updates per NS replacement; raise when "
+                    "the insertion-order MWW test flags under-mixed "
+                    "replacement chains (observed on the 7-param docs "
+                    "model at 8: z=3.0)")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--resume", action="store_true",
                     help="use the resumable (host-stepped) NS driver — "
@@ -290,6 +296,7 @@ def main():
             res = run_inference(
                 spec, sampler=sampler, key=jax.random.PRNGKey(args.seed),
                 num_particles=args.particles, num_moves=args.moves,
+                num_ns_mcmc=args.ns_mcmc,
                 log_dir=log_dir, resume=args.resume,
             )
             wall = time.time() - t0
@@ -333,21 +340,39 @@ def main():
                     np.max(np.abs(ours_mean - is_mean) / is_std))
                 entry["width_ratio_referee"] = (
                     ours_std / is_std).round(4).tolist()
+            # stored-mean pull tolerance: the stored run's mean carries
+            # its OWN bias (the referee measures it: up to 0.49 sd on
+            # simu_single), so with a referee present the stored gate
+            # widens by that demonstrated bias and the authoritative
+            # mean/width gates move to the referee (tight: 0.5 sd /
+            # [0.8, 1.25]; observed <=0.14 sd and <=1.17).
+            stored_tol = cfg["pull_tol"]
+            if referee is not None:
+                stored_tol += float(referee["max_stored_pull"])
+            entry["pull_tol_effective"] = stored_tol
             ok = (entry["logz_diff"] is None
                   or abs(entry["logz_diff"]) < cfg["logz_tol"]) and \
-                entry["max_pull"] < cfg["pull_tol"]
+                entry["max_pull"] < stored_tol
             if referee is not None:
                 wrr = np.asarray(entry["width_ratio_referee"])
-                # tight gates vs the ground-truth referee: means within
-                # 0.5 sd, widths within [0.8, 1.25] (observed: <=0.06 sd
-                # and ~3% on single_ns at 1024 live points)
                 ok = ok and entry["max_pull_referee"] < 0.5
-                ok = ok and bool(np.all((wrr > 0.8) & (wrr < 1.25)))
+                # width gate [0.8, 1.25] widened by 3 IS standard errors
+                # of the referee's own std estimate (~sd/sqrt(2 ESS);
+                # optimistic for heavy-tailed IS weights, hence 3):
+                # a 522-ESS referee cannot adjudicate widths to 2%
+                rse = 3.0 / np.sqrt(2.0 * float(referee["ess"]))
+                w_lo, w_hi = 0.8 * (1.0 - rse), 1.25 * (1.0 + rse)
+                entry["width_gate_referee"] = [round(w_lo, 4),
+                                               round(w_hi, 4)]
+                ok = ok and bool(np.all((wrr > w_lo) & (wrr < w_hi)))
             entry["pass"] = bool(ok)
             summary["runs"][tag] = entry
             print(f"   logZ {entry['logz']} (ref {entry['logz_ref']}, "
                   f"diff {entry['logz_diff']}) max_pull {entry['max_pull']:.3f}"
                   f" wall {wall:.1f}s -> {'PASS' if ok else 'FAIL'}")
+            # incremental write: a crash must not lose completed runs
+            with open(spath, "w") as fh:
+                json.dump(summary, fh, indent=2)
 
     with open(spath, "w") as fh:
         json.dump(summary, fh, indent=2)

@@ -150,7 +150,7 @@ def celerite_factor_solve(
     dtype = U.dtype
 
     D, W = _factor(U, V, phi, sigma2, suma)
-    logdetD = jnp.sum(jnp.log(jnp.abs(D)))
+    logdetD = stable_sum(jnp.log(jnp.abs(D)))
 
     # forward substitution: z' = (I + tril(U W^T))^{-1} y
     def fwd_step(carry, inp):
@@ -191,6 +191,25 @@ def celerite_factor_solve(
 SEQ_SHARD_MIN_N = 8192
 
 
+def stable_sum(x):
+    """Blocked (two-level) summation: ~sqrt(N) f32 error growth.
+
+    XLA's plain f32 reduction on TPU accumulates sequentially enough
+    that |logl_f32 - logl_f64| grew linearly in N (measured ~500 nats
+    at N = 2^16, benchmarks/GRID.md r3) — the same pathology the Pallas
+    kernels fix with Kahan accumulators. Splitting into ~sqrt(N) blocks
+    whose partial sums are reduced separately cuts the growth to
+    ~sqrt(N) eps, matching the recursion's own f32 noise floor.
+    """
+    n = x.shape[0]
+    if n <= 256:
+        return jnp.sum(x)
+    k = 1 << max((n - 1).bit_length() // 2, 1)  # ~sqrt(n), power of 2
+    m = -(-n // k) * k
+    xp = jnp.pad(x, (0, m - n)) if m > n else x
+    return jnp.sum(jnp.sum(xp.reshape(-1, k), axis=1))
+
+
 def logl(a, b, c, d, t, y, sigma2, mesh=None, seq_axis: str = "seq",
          seq_min_n: Optional[int] = None):
     """Celerite GP log-likelihood (reference celerite_solver.jl:312-334).
@@ -221,7 +240,8 @@ def logl(a, b, c, d, t, y, sigma2, mesh=None, seq_axis: str = "seq",
                                     axis_name=seq_axis)
     z, D, _, logdetD, _ = celerite_factor_solve(a, b, c, d, t, y, sigma2)
     N = y.shape[0]
-    ll = -0.5 * logdetD - 0.5 * N * jnp.log(2.0 * jnp.pi) - 0.5 * jnp.dot(y, z)
+    ll = (-0.5 * logdetD - 0.5 * N * jnp.log(2.0 * jnp.pi)
+          - 0.5 * stable_sum(y * z))
     ok = jnp.all(D > 0) & jnp.isfinite(ll)
     return jnp.where(ok, ll, -jnp.inf)
 
@@ -393,8 +413,8 @@ def logl_masked(a, b, c, d, t, y, sigma2, n_valid):
     zp = jnp.concatenate([y[:1], zp_rest])
 
     live = jnp.arange(t.shape[0]) < n_valid
-    logdet = jnp.sum(jnp.where(live, jnp.log(jnp.abs(D)), 0.0))
-    quad = jnp.sum(jnp.where(live, zp * zp / D, 0.0))
+    logdet = stable_sum(jnp.where(live, jnp.log(jnp.abs(D)), 0.0))
+    quad = stable_sum(jnp.where(live, zp * zp / D, 0.0))
     ll = -0.5 * (logdet + quad + n_valid * jnp.log(2.0 * jnp.pi))
     ok = jnp.all(jnp.where(live, D, 1.0) > 0) & jnp.isfinite(ll)
     return jnp.where(ok, ll, -jnp.inf)

@@ -61,10 +61,11 @@ def auto_tiles(J):
 
     The dominant buffers scale with 3 * J8^2 * block_b * 4 bytes per
     stored T step (J8 = J rounded up to 8 sublanes): the backward keeps
-    kc of them, the Mbar carry, a double-buffered checkpoint block, and
-    several live (J8, J8, block_b) temporaries. Empirically J8 <= 24
-    fits at 128 lanes with kc = 8 (covers the reference's default
-    n_components = 20); beyond that gradients use the scan VJP.
+    kc of them, the Mbar carry-in block + carry buffer, a
+    double-buffered checkpoint block, and several live
+    (J8, J8, block_b) temporaries. Empirically J8 <= 24 fits at 128
+    lanes with kc = 4 (covers the reference's default n_components =
+    20); beyond that gradients use the scan VJP.
     """
     J8 = -(-J // 8) * 8
     if J8 <= 24:
@@ -319,8 +320,11 @@ def _resolve_tiles(J, block_b, chunk, kc):
 # largest per-launch time extent (steps) the remote TPU compiler is
 # verified to handle on the table-carrying adjoint kernels; longer
 # series run as a chain of launches with the (S, fW, acc) state carried
-# between them (exact — the recursion is sequential either way)
-SEG_STEPS = 4096
+# between them (exact — the recursion is sequential either way).
+# Empirically the compiler limit tracks the number of BACKWARD grid
+# steps (Np / kc <= ~512): r3's kc=8 kernels compiled at N=4096 and
+# died at 8192; the r4 kc=4 kernels died at 4096 until this cap halved.
+SEG_STEPS = 2048
 
 
 def _segment_layout(Nc: int, chunk: int):

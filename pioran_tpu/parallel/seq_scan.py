@@ -40,7 +40,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.celerite import build_uv
+from ..ops.celerite import build_uv, stable_sum
 
 __all__ = ["logl_seq_sharded", "factor_solve_seq_sharded",
            "logl_seq_pipelined"]
@@ -163,8 +163,8 @@ def logl_seq_sharded(
         a, b, c, d, t, y, sigma2, mesh, axis_name
     )
     N = y.shape[0]
-    logdet = jnp.sum(jnp.log(jnp.abs(D)))
-    quad = jnp.sum(zp * zp / D)
+    logdet = stable_sum(jnp.log(jnp.abs(D)))
+    quad = stable_sum(zp * zp / D)
     ll = -0.5 * logdet - 0.5 * N * jnp.log(2.0 * jnp.pi) - 0.5 * quad
     ok = jnp.all(D > 0) & jnp.isfinite(ll)
     return jnp.where(ok, ll, -jnp.inf)
@@ -233,8 +233,8 @@ def logl_seq_pipelined(
             step = _uniform_step(sm)
             carry, (D_blk, zp_blk) = lax.scan(
                 step, carry, (U, V, phi, s2_row, y_row))
-            logdet = jnp.sum(jnp.log(jnp.abs(D_blk)))
-            quad = jnp.sum(zp_blk * zp_blk / D_blk)
+            logdet = stable_sum(jnp.log(jnp.abs(D_blk)))
+            quad = stable_sum(zp_blk * zp_blk / D_blk)
             minD = jnp.min(D_blk)
             return carry, logdet, quad, minD
 
