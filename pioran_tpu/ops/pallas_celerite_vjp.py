@@ -68,14 +68,18 @@ def auto_tiles(J):
     20); beyond that gradients use the scan VJP.
     """
     J8 = -(-J // 8) * 8
+    # kc trades the backward's Tst recompute store (kc * 3 J8^2 *
+    # block_b * 4 bytes of VMEM) against checkpoint HBM (one 3 J8^2
+    # row per kc steps): small J affords long kc chunks, J8 = 24 needs
+    # kc = 4 now that the segmented kernels' carry-in blocks cost
+    # ~0.9 MB of the 16 MB scoped-vmem budget.
+    if J8 <= 8:
+        return 128, 16, 8
+    if J8 <= 16:
+        return 128, 8, 8
     if J8 <= 24:
-        # r4: kc = 4 (was 8) — the segmented kernels' carry-in blocks
-        # (Mbar/cpre on the backward, S/fW/acc on the forward) cost
-        # ~0.9 MB of VMEM, so the Tst recompute store shrinks to keep a
-        # comfortable margin under the 16 MB scoped-vmem limit; the
-        # checkpoint HBM doubles (accounted in fits_vmem).
         return 128, 8, 4
-    # larger J: the kc T-store + Mbar + live temporaries exceed the
+    # larger J: the kc T-store + carries + live temporaries exceed the
     # 16 MB VMEM (lane blocks must stay multiples of 128, so narrowing
     # the batch tile is not an option, and shrinking kc multiplies the
     # checkpoint HBM). batched_loglike falls back to the scan VJP.
@@ -101,11 +105,14 @@ def fits_vmem(J, block_b=None, n=None, batch=None) -> bool:
     # launches with carried state (see fwd_aug_pallas). The only gate
     # left is the HBM footprint of the residual tables below.
     if n is not None and batch is not None:
-        _, chunk, kc = tiles
+        blk, chunk, kc = tiles
         J8 = -(-J // 8) * 8
-        tables = 4.0 * batch * n * (4 * J8 + 2)
+        # allocations happen at the PADDED lane width (the kernel tiles
+        # the batch to block_b lanes): B=64 still allocates 128 lanes
+        bp = -(-batch // blk) * blk
+        tables = 4.0 * bp * n * (4 * J8 + 2)
         # one T checkpoint (3 J8^2 floats/lane) every kc steps
-        ckpts = 4.0 * batch * (n / kc) * 3 * J8 * J8
+        ckpts = 4.0 * bp * (n / kc) * 3 * J8 * J8
         if tables + ckpts > 10e9:
             return False
     return True
@@ -470,7 +477,11 @@ def fwd_aug_pallas(a, b, c, d, t, y, sigma2, n_valid=None,
             _neutral_carry(J8, Bp, dtype))
         return ll[0, :B], residuals
 
-    # ---- segmented: equalize segment lengths, then chain launches ----
+    # ---- segmented: equalize segment lengths, then chain launches as
+    # a lax.scan over stacked segments — ONE kernel in the loop body
+    # instead of n_seg inlined copies, so the program size (and the
+    # remote compiler) stays O(1) in N (32 inlined launches at N=2^16
+    # exceeded the compile service)
     Nc2 = n_seg * seg_chunks
     tsm = _pad_chunks(tsm, Nc2, 0.0, per_lane_edge=True)
     dtsm = _pad_chunks(dtsm, Nc2, 0.0)
@@ -478,20 +489,29 @@ def fwd_aug_pallas(a, b, c, d, t, y, sigma2, n_valid=None,
     s2T = _pad_chunks(s2T, Nc2, 1.0)
     Lseg = seg_chunks * chunk
 
-    carry = _neutral_carry(J8, Bp, dtype)
-    seg_residuals = []
-    for s in range(n_seg):
-        sl = slice(s * seg_chunks, (s + 1) * seg_chunks)
-        nv_local = jnp.clip(nv - s * Lseg, 0.0, float(Lseg))
+    def stack_seg(x):
+        return x.reshape((n_seg, seg_chunks) + x.shape[1:])
+
+    nv_locals = jnp.stack([
+        jnp.clip(nv - s * Lseg, 0.0, float(Lseg)) for s in range(n_seg)])
+
+    def seg_body(carry, xs):
+        tsm_s, dtsm_s, yT_s, s2T_s, nv_s = xs
         _, res_s, carry = call(
-            aT, bT, cT, dT, tsm[sl], dtsm[sl], yT[sl], s2T[sl],
-            suma, nv_local, carry)
-        seg_residuals.append(res_s)
+            aT, bT, cT, dT, tsm_s, dtsm_s, yT_s, s2T_s, suma, nv_s,
+            carry)
+        return carry, res_s
+
+    carry, residuals = jax.lax.scan(
+        seg_body, _neutral_carry(J8, Bp, dtype),
+        (stack_seg(tsm), stack_seg(dtsm), stack_seg(yT), stack_seg(s2T),
+         nv_locals))
     acc_out = carry[2]
     ll = -0.5 * (acc_out[2, :] + acc_out[3, :] + nv[0, :] * _LOG2PI)
     ok = (acc_out[4, :] > 0) & jnp.isfinite(ll)
     ll = jnp.where(ok, ll, -jnp.inf)
-    return ll[:B], tuple(seg_residuals)
+    # residuals: tuple of 7 arrays, each with a leading n_seg axis
+    return ll[:B], residuals
 
 
 # ---------------------------------------------------------------------------
@@ -842,42 +862,54 @@ def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g, n_valid=None,
         _bwd_call, per_lane_t=per_lane_t, chunk=chunk, kc=kc,
         block_b=block_b, J8=J8, Bp=Bp, interpret=interpret)
 
-    segmented = isinstance(residuals[0], tuple)
+    segmented = residuals[0].ndim == 4  # leading n_seg axis (fwd scan)
     mb0 = jnp.zeros((3, J8, J8, Bp), dtype)
     cp0 = jnp.zeros((2, J8, Bp), dtype)
     if not segmented:
         (abar, bbar, cbar, dbar, ybar, s2bar, tbp, dtbp, _, _) = call(
             aT, bT, cT, dT, tsm, dtsm, suma, gp, nv, residuals, mb0, cp0)
     else:
-        n_seg = len(residuals)
+        # reverse lax.scan over segments (mirrors the forward's scan):
+        # one kernel in the loop body, cotangent carry between launches,
+        # coefficient gradients summed in the carry
+        n_seg = residuals[0].shape[0]
         _, seg_chunks = _segment_layout(Nc, chunk)
         assert n_seg == -(-Nc // seg_chunks)
         Nc2 = n_seg * seg_chunks
         tsm2 = _pad_chunks(tsm, Nc2, 0.0, per_lane_edge=True)
         dtsm2 = _pad_chunks(dtsm, Nc2, 0.0)
         Lseg = seg_chunks * chunk
-        mb, cp = mb0, cp0
-        abar = bbar = cbar = dbar = None
-        rows = [None] * n_seg
-        for s in range(n_seg - 1, -1, -1):
-            sl = slice(s * seg_chunks, (s + 1) * seg_chunks)
-            nv_local = jnp.clip(nv - s * Lseg, 0.0, float(Lseg))
+
+        def stack_seg(x):
+            return x.reshape((n_seg, seg_chunks) + x.shape[1:])
+
+        nv_locals = jnp.stack([
+            jnp.clip(nv - s * Lseg, 0.0, float(Lseg))
+            for s in range(n_seg)])
+        coef0 = jnp.zeros((J8, Bp), dtype)
+
+        def seg_body(carry, xs):
+            mb, cp, ab_acc, bb_acc, cb_acc, db_acc = carry
+            tsm_s, dtsm_s, nv_s, res_s = xs
             (ab_s, bb_s, cb_s, db_s, yb_s, s2b_s, tb_s, dtb_s,
              mb, cp) = call(
-                aT, bT, cT, dT, tsm2[sl], dtsm2[sl], suma, gp, nv_local,
-                residuals[s], mb, cp)
-            if abar is None:
-                abar, bbar, cbar, dbar = ab_s, bb_s, cb_s, db_s
-            else:
-                abar = abar + ab_s
-                bbar = bbar + bb_s
-                cbar = cbar + cb_s
-                dbar = dbar + db_s
-            rows[s] = (yb_s, s2b_s, tb_s, dtb_s)
-        ybar = jnp.concatenate([r[0] for r in rows], axis=0)
-        s2bar = jnp.concatenate([r[1] for r in rows], axis=0)
-        tbp = jnp.concatenate([r[2] for r in rows], axis=0)
-        dtbp = jnp.concatenate([r[3] for r in rows], axis=0)
+                aT, bT, cT, dT, tsm_s, dtsm_s, suma, gp, nv_s, res_s,
+                mb, cp)
+            carry = (mb, cp, ab_acc + ab_s, bb_acc + bb_s,
+                     cb_acc + cb_s, db_acc + db_s)
+            return carry, (yb_s, s2b_s, tb_s, dtb_s)
+
+        carry, rows = jax.lax.scan(
+            seg_body, (mb0, cp0, coef0, coef0, coef0, coef0),
+            (stack_seg(tsm2), stack_seg(dtsm2), nv_locals, residuals),
+            reverse=True,
+        )
+        _, _, abar, bbar, cbar, dbar = carry
+        yb_s, s2b_s, tb_s, dtb_s = rows  # (n_seg, Np_seg, Bp)
+        ybar = yb_s.reshape(-1, Bp)
+        s2bar = s2b_s.reshape(-1, Bp)
+        tbp = tb_s.reshape(-1, Bp)
+        dtbp = dtb_s.reshape(-1, Bp)
 
     # un-pad and fold the time partials:
     # t appears via co/si at step m and via dt_m = t_m - t_{m-1},

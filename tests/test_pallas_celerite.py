@@ -264,7 +264,8 @@ def test_segmented_adjoint_matches_scan_vjp(monkeypatch):
     s2 = jnp.asarray(0.1 + 0.02 * np.abs(rng.normal(size=(B, N))))
 
     ll, res = fwd_aug_pallas(a, b, c, d, t, y, s2, interpret=True)
-    assert isinstance(res[0], tuple) and len(res) == 3  # segmented
+    # segmented: residual arrays carry a leading n_seg axis (fwd scan)
+    assert res[0].ndim == 4 and res[0].shape[0] == 3
     ll_ref = _scan_batched(a, b, c, d, t, y, s2)
     np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref),
                                rtol=1e-9, atol=1e-8)
@@ -301,7 +302,7 @@ def test_segmented_adjoint_ragged_multi(monkeypatch):
 
     ll, res = fwd_aug_pallas(a, b, c, d, T, y, s2m, n_valid=nv,
                              interpret=True)
-    assert isinstance(res[0], tuple)
+    assert res[0].ndim == 4  # segmented (leading n_seg axis)
     ll_ref = _scan_batched_multi(a, b, c, d, T, y, s2, nv)
     np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref),
                                rtol=1e-9, atol=1e-8)
