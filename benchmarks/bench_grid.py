@@ -62,14 +62,19 @@ def main():
     rng = np.random.default_rng(0)
 
     def make_problem(N, J):
-        t = jnp.asarray(np.sort(rng.uniform(0, 1000.0, N)), dtype)
+        t64 = np.sort(rng.uniform(0, 1000.0, N))
+        t = jnp.asarray(t64, dtype)
         y = jnp.asarray(rng.normal(size=N), dtype)
         s2 = jnp.asarray(0.05 + 0.1 * rng.uniform(size=N), dtype)
         a = jnp.asarray(rng.uniform(0.5, 2.0, J), dtype)
         b = jnp.asarray(a)  # SHO-style b = a
         c = jnp.asarray(rng.uniform(0.05, 0.5, J), dtype)
         d = jnp.asarray(c)
-        return a, b, c, d, t, y, s2
+        # spacings in f64 BEFORE the cast: diff of an f32 grid loses
+        # ~log2(N) bits at this span/N (ops/celerite.py build_uv) —
+        # the production specs do the same (inference.py)
+        dtv = jnp.asarray(np.diff(t64), dtype)
+        return (a, b, c, d, t, y, s2), dtv
 
     def timeit(fn, *fnargs, iters=args.iters):
         out = fn(*fnargs)
@@ -98,14 +103,17 @@ def main():
     rows = []
     for N in Ns:
         for J in Js:
-            prob = make_problem(N, J)
+            prob, dtv = make_problem(N, J)
             cell = {"N": N, "J": J}
             for name, fn in backends.items():
                 if name == "kalman_assoc" and N > args.assoc_max_n:
                     cell[name + "_ms"] = None
                     cell[name + "_ok"] = "skipped_assoc_max_n"
                     continue
-                jf = jax.jit(fn)
+                if name == "celerite_scan":
+                    jf = jax.jit(lambda *ar, _f=fn: _f(*ar, dt=dtv))
+                else:
+                    jf = jax.jit(fn)
                 try:
                     dt = timeit(jf, *prob)
                     val = float(jf(*prob))
@@ -157,7 +165,9 @@ def main():
                     # over them embeds them as HLO constants and the axon
                     # remote-compile service rejects >~100 MB request
                     # bodies (HTTP 413)
-                    pf = jax.jit(batched_loglike_pallas_fused)
+                    pf = jax.jit(
+                        lambda *ar: batched_loglike_pallas_fused(
+                            *ar, dt=dtv))
                     dtp = timeit(pf, A, Bc, Cc, Dc, t, Y, S2)
                     cell["pallas_batch"] = B
                     cell["pallas_evals_per_s"] = round(B / dtp, 1)
@@ -188,7 +198,8 @@ def main():
                     while Bg >= 128 and not fits_vmem(J, n=N, batch=Bg):
                         Bg //= 2
                     if fits_vmem(J, n=N, batch=Bg):
-                        gf = jax.jit(value_and_grad_tables)
+                        gf = jax.jit(
+                            lambda *ar: value_and_grad_tables(*ar, dt=dtv))
                         dtg = timeit(gf, A[:Bg], Bc[:Bg], Cc[:Bg], Dc[:Bg],
                                      t, Y[:Bg], S2[:Bg])
                         cell["pallas_grad_batch"] = Bg
@@ -202,7 +213,7 @@ def main():
             ), flush=True)
 
     if args.profile:
-        a, b, c, d, t, y, s2 = make_problem(4096, 20)
+        (a, b, c, d, t, y, s2), _ = make_problem(4096, 20)
         jf = jax.jit(logl)
         jax.block_until_ready(jf(a, b, c, d, t, y, s2))
         with jax.profiler.trace(args.profile):

@@ -70,7 +70,7 @@ class GPModelSpec:
 
 
 def _batched_loglike_from_coeffs(coeff_fn, t, seq_mesh=None,
-                                 seq_axis="seq"):
+                                 seq_axis="seq", dt=None):
     """(B, dim) -> (B,) likelihood: vmapped parameter->coefficient map
     (small JxJ solves on the MXU) feeding the fused Pallas celerite
     kernel (ops/pallas_celerite.py) on TPU, the scan oracle elsewhere.
@@ -93,7 +93,7 @@ def _batched_loglike_from_coeffs(coeff_fn, t, seq_mesh=None,
 
     def loglike_batch(TH):
         a, b, c, d, yv, s2 = jax.vmap(coeff_fn)(TH)
-        return batched_loglike(a, b, c, d, t, yv, s2)
+        return batched_loglike(a, b, c, d, t, yv, s2, dt)
 
     return loglike_batch
 
@@ -141,6 +141,10 @@ def single_bending_model(
     device ring). Requires N divisible by the axis size and batch
     widths (``num_particles``, ``n_delete``) divisible by it too.
     """
+    # consecutive spacings computed in host f64 BEFORE the f32 cast:
+    # diff of an f32 grid loses ~log2(N) bits for long dense series
+    # (ops/celerite.py build_uv; dominated the f32 error at N >= 2^14)
+    dt64 = jnp.asarray(np.diff(np.asarray(t, np.float64)))
     t = jnp.asarray(t)
     y = jnp.asarray(y)
     yerr = jnp.asarray(yerr)
@@ -182,7 +186,8 @@ def single_bending_model(
     def loglike(th):
         a, b, c, d, yv, s2 = coeff_fn(th)
         return cel.logl(a, b, c, d, t, yv, s2,
-                        mesh=seq_mesh, seq_axis=seq_axis, seq_min_n=0)
+                        mesh=seq_mesh, seq_axis=seq_axis, seq_min_n=0,
+                        dt=dt64)
 
     def gp_model(tt, yy, ee, th):
         a1, a2, f1, var = th[0], th[1], th[2], th[3]
@@ -210,7 +215,7 @@ def single_bending_model(
         t=np.asarray(t), y=np.asarray(y), yerr=np.asarray(yerr),
         f_min=f_min, f_max=f_max,
         loglike_batch=_batched_loglike_from_coeffs(
-            coeff_fn, t, seq_mesh=seq_mesh, seq_axis=seq_axis),
+            coeff_fn, t, seq_mesh=seq_mesh, seq_axis=seq_axis, dt=dt64),
     )
 
 

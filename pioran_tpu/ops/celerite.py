@@ -61,14 +61,22 @@ def _interleave(odd, even):
     return jnp.stack([odd, even], axis=-1).reshape(*odd.shape[:-1], -1)
 
 
-def build_uv(a, b, c, d, t) -> CeleriteUV:
-    """Vectorised construction of the U, V, phi tables for times ``t``."""
+def build_uv(a, b, c, d, t, dt=None) -> CeleriteUV:
+    """Vectorised construction of the U, V, phi tables for times ``t``.
+
+    ``dt`` (optional, (N-1,)): the consecutive spacings. Pass spacings
+    computed in f64 on the host for long dense series — ``diff`` of an
+    f32 time grid loses ~log2(N) bits when the span is ~N times the
+    spacing (at N = 2^16 that alone cost ~500 nats of likelihood,
+    dwarfing every other f32 effect; benchmarks/GRID.md).
+    """
     td = t[:, None] * d[None, :]
     co = jnp.cos(td)
     si = jnp.sin(td)
     U = _interleave(a * co + b * si, a * si - b * co)  # (N, R)
     V = _interleave(co, si)  # (N, R)
-    dt = jnp.diff(t)
+    if dt is None:
+        dt = jnp.diff(t)
     ec = jnp.exp(-dt[:, None] * c[None, :])  # (N-1, J)
     phi = _interleave(ec, ec)
     phi = jnp.concatenate([jnp.zeros_like(phi[:1]), phi], axis=0)  # (N, R)
@@ -134,7 +142,7 @@ def _factor(U, V, phi, sigma2, suma) -> Tuple[jax.Array, jax.Array]:
 
 
 def celerite_factor_solve(
-    a, b, c, d, t, y, sigma2
+    a, b, c, d, t, y, sigma2, dt=None
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, CeleriteUV]:
     """LDL^T factorization + K^{-1} y solve in three scans.
 
@@ -143,7 +151,7 @@ def celerite_factor_solve(
     ``logdetD = sum log |D_n|`` (abs as in reference
     celerite_solver.jl:140).
     """
-    uv = build_uv(a, b, c, d, t)
+    uv = build_uv(a, b, c, d, t, dt=dt)
     U, V, phi = uv
     R = U.shape[-1]
     suma = jnp.sum(a)
@@ -211,7 +219,7 @@ def stable_sum(x):
 
 
 def logl(a, b, c, d, t, y, sigma2, mesh=None, seq_axis: str = "seq",
-         seq_min_n: Optional[int] = None):
+         seq_min_n: Optional[int] = None, dt=None):
     """Celerite GP log-likelihood (reference celerite_solver.jl:312-334).
 
     loglike = -logdetD/2 - N log(2 pi)/2 - y^T K^{-1} y / 2
@@ -237,8 +245,9 @@ def logl(a, b, c, d, t, y, sigma2, mesh=None, seq_axis: str = "seq",
             from ..parallel.seq_scan import logl_seq_sharded
 
             return logl_seq_sharded(a, b, c, d, t, y, sigma2, mesh,
-                                    axis_name=seq_axis)
-    z, D, _, logdetD, _ = celerite_factor_solve(a, b, c, d, t, y, sigma2)
+                                    axis_name=seq_axis, dt=dt)
+    z, D, _, logdetD, _ = celerite_factor_solve(a, b, c, d, t, y, sigma2,
+                                                dt=dt)
     N = y.shape[0]
     ll = (-0.5 * logdetD - 0.5 * N * jnp.log(2.0 * jnp.pi)
           - 0.5 * stable_sum(y * z))
@@ -380,7 +389,7 @@ def predict(kernel, tau, t, y, sigma2):
     return jax.vmap(combine)(jnp.arange(M))
 
 
-def logl_masked(a, b, c, d, t, y, sigma2, n_valid):
+def logl_masked(a, b, c, d, t, y, sigma2, n_valid, dt=None):
     """Log-likelihood of the first ``n_valid`` points of a padded series.
 
     Exact ragged handling with static shapes: the recursion runs over the
@@ -392,7 +401,7 @@ def logl_masked(a, b, c, d, t, y, sigma2, n_valid):
     is the CPU oracle. Uses the forward-only quadratic form
     y^T K^-1 y = sum zp_n^2 / D_n.
     """
-    uv = build_uv(a, b, c, d, t)
+    uv = build_uv(a, b, c, d, t, dt=dt)
     U, V, phi = uv
     R = U.shape[-1]
     suma = jnp.sum(a)

@@ -354,7 +354,7 @@ def _fused_kernel(n_steps, chunk, per_lane_t,
 
 
 def batched_loglike_pallas_fused(
-    a, b, c, d, t, y, sigma2,
+    a, b, c, d, t, y, sigma2, dt=None,
     *, block_b: int = 128, chunk: int = 128, interpret: bool = False,
 ):
     """Fused batched celerite log-likelihood: tables computed in-VMEM.
@@ -385,9 +385,16 @@ def batched_loglike_pallas_fused(
     Np = -(-N // chunk) * chunk
     Nc = Np // chunk
     t_pad = jnp.pad(t, (0, Np - N), mode="edge") if Np > N else t
-    dt = jnp.concatenate([jnp.zeros((1,), dtype), jnp.diff(t_pad)])
+    if dt is None:
+        dtv = jnp.concatenate([jnp.zeros((1,), dtype), jnp.diff(t_pad)])
+    else:
+        # host-supplied (f64-computed) spacings: diff of an f32 grid
+        # loses ~log2(N) bits at long N (see ops.celerite.build_uv)
+        dtv = jnp.concatenate(
+            [jnp.zeros((1,), dtype), jnp.asarray(dt, dtype),
+             jnp.zeros((Np - N,), dtype)])
     tsm = t_pad.reshape(Nc, chunk)
-    dtsm = dt.reshape(Nc, chunk)
+    dtsm = dtv.reshape(Nc, chunk)
     yT = _pad_axis(y.T, Np, 0)
     s2T = _pad_axis(sigma2.T, Np, 0, fill=1.0)
     suma = jnp.sum(a, axis=1)[None, :]
@@ -517,23 +524,28 @@ def batched_loglike_pallas_multi(
     return out[0, :B]
 
 
-def _scan_batched(a, b, c, d, t, y, sigma2):
+def _scan_batched(a, b, c, d, t, y, sigma2, dt=None):
     from . import celerite as cel
 
     return jax.vmap(
-        lambda aa, bb, cc, dd, yy, ss: cel.logl(aa, bb, cc, dd, t, yy, ss)
+        lambda aa, bb, cc, dd, yy, ss: cel.logl(aa, bb, cc, dd, t, yy, ss,
+                                                dt=dt)
     )(a, b, c, d, y, sigma2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
-def batched_loglike(a, b, c, d, t, y, sigma2):
+def batched_loglike(a, b, c, d, t, y, sigma2, dt=None):
     """Batched log-likelihood: Pallas forward on TPU, scan elsewhere.
 
     Differentiable: the VJP re-runs the `lax.scan` reference
     implementation (ops.celerite.logl) under `jax.vjp`, so gradients are
     identical to the scan path regardless of which forward ran.
+
+    ``dt`` (optional, (N-1,)): host-f64-computed spacings for long
+    dense series (see ops.celerite.build_uv); treated as
+    non-differentiable (the t cotangent still assumes dt = diff(t)).
     """
-    return _forward_impl(a, b, c, d, t, y, sigma2)
+    return _forward_impl(a, b, c, d, t, y, sigma2, dt)
 
 
 def _on_tpu():
@@ -545,35 +557,38 @@ def _on_tpu():
         return False
 
 
-def _forward_impl(a, b, c, d, t, y, sigma2):
+def _forward_impl(a, b, c, d, t, y, sigma2, dt=None):
     if _on_tpu():
-        return batched_loglike_pallas_fused(a, b, c, d, t, y, sigma2)
-    return _scan_batched(a, b, c, d, t, y, sigma2)
+        return batched_loglike_pallas_fused(a, b, c, d, t, y, sigma2, dt=dt)
+    return _scan_batched(a, b, c, d, t, y, sigma2, dt=dt)
 
 
-def _fwd(a, b, c, d, t, y, sigma2):
+def _fwd(a, b, c, d, t, y, sigma2, dt=None):
     from .pallas_celerite_vjp import fits_vmem
 
     if _on_tpu() and fits_vmem(a.shape[1], n=t.shape[0], batch=a.shape[0]):
         from .pallas_celerite_vjp import fwd_aug_pallas
 
-        ll, tables = fwd_aug_pallas(a, b, c, d, t, y, sigma2)
-        return ll, (a, b, c, d, t, y, sigma2, ll, tables)
-    return _scan_batched(a, b, c, d, t, y, sigma2), (
-        a, b, c, d, t, y, sigma2, None, None)
+        ll, tables = fwd_aug_pallas(a, b, c, d, t, y, sigma2, dt=dt)
+        return ll, (a, b, c, d, t, y, sigma2, dt, ll, tables)
+    return _scan_batched(a, b, c, d, t, y, sigma2, dt=dt), (
+        a, b, c, d, t, y, sigma2, dt, None, None)
 
 
 def _bwd(res, g):
-    a, b, c, d, t, y, sigma2, ll, tables = res
+    a, b, c, d, t, y, sigma2, dt, ll, tables = res
+    dtbar = None if dt is None else jnp.zeros_like(dt)
     if tables is not None:
         from .pallas_celerite_vjp import bwd_pallas
 
         # non-PD chains carry ll = -inf; zero their cotangent (the scan
         # VJP would emit NaN there — samplers mask non-finite either way)
         g = jnp.where(jnp.isfinite(ll), g, jnp.zeros_like(g))
-        return bwd_pallas(a, b, c, d, t, y, sigma2, tables, g)
-    _, vjp = jax.vjp(lambda *args: _scan_batched(*args), a, b, c, d, t, y, sigma2)
-    return vjp(g)
+        return (*bwd_pallas(a, b, c, d, t, y, sigma2, tables, g, dt=dt),
+                dtbar)
+    _, vjp = jax.vjp(
+        lambda *args: _scan_batched(*args, dt=dt), a, b, c, d, t, y, sigma2)
+    return (*vjp(g), dtbar)
 
 
 batched_loglike.defvjp(_fwd, _bwd)

@@ -249,8 +249,11 @@ def _fwd_aug_kernel(n_steps, chunk, kc, per_lane_t,
         # (S, fW, acc) already live in the carry-out refs
 
 
-def _prep(a, b, c, d, t, y, sigma2, block_b, chunk):
-    """Shared padding/layout for the fwd-aug and bwd wrappers."""
+def _prep(a, b, c, d, t, y, sigma2, block_b, chunk, dt_in=None):
+    """Shared padding/layout for the fwd-aug and bwd wrappers.
+
+    ``dt_in`` (optional, (N-1,)): externally supplied spacings (see
+    ops.celerite.build_uv) — used verbatim instead of diff(t)."""
     B, J = a.shape
     N = t.shape[0]
     J8 = -(-J // 8) * 8
@@ -265,7 +268,12 @@ def _prep(a, b, c, d, t, y, sigma2, block_b, chunk):
     Np = -(-N // chunk) * chunk
     Nc = Np // chunk
     t_pad = jnp.pad(t, (0, Np - N), mode="edge") if Np > N else t
-    dt = jnp.concatenate([jnp.zeros((1,), t.dtype), jnp.diff(t_pad)])
+    if dt_in is None:
+        dt = jnp.concatenate([jnp.zeros((1,), t.dtype), jnp.diff(t_pad)])
+    else:
+        dt = jnp.concatenate(
+            [jnp.zeros((1,), t.dtype), jnp.asarray(dt_in, t.dtype),
+             jnp.zeros((Np - N,), t.dtype)])
     tsm = t_pad.reshape(Nc, chunk)
     dtsm = dt.reshape(Nc, chunk)
     yT = _pad_axis(y.T, Np, 0)
@@ -434,7 +442,7 @@ def _neutral_carry(J8, Bp, dtype):
             jnp.zeros((4, J8, Bp), dtype), acc0)
 
 
-def fwd_aug_pallas(a, b, c, d, t, y, sigma2, n_valid=None,
+def fwd_aug_pallas(a, b, c, d, t, y, sigma2, n_valid=None, dt=None,
                    *, block_b: int = None, chunk: int = None, kc: int = None,
                    interpret: bool = False):
     """Fused forward that also emits the backward's residual tables.
@@ -461,7 +469,7 @@ def fwd_aug_pallas(a, b, c, d, t, y, sigma2, n_valid=None,
     else:
         (aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma,
          B, J, N, J8, Bp, Np, Nc) = _prep(
-            a, b, c, d, t, y, sigma2, block_b, chunk)
+            a, b, c, d, t, y, sigma2, block_b, chunk, dt_in=dt)
         yT = yT.reshape(Nc, chunk, Bp)
         s2T = s2T.reshape(Nc, chunk, Bp)
         nv = jnp.full((1, Bp), N, dtype)
@@ -829,6 +837,7 @@ def _bwd_call(aT, bT, cT, dT, tsm, dtsm, suma, gp, nv_local, residuals,
 
 
 def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g, n_valid=None,
+               dt=None,
                *, block_b: int = None, chunk: int = None, kc: int = None,
                interpret: bool = False):
     """Adjoint of the batched likelihood: returns cotangents for
@@ -855,7 +864,7 @@ def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g, n_valid=None,
     else:
         (aT, bT, cT, dT, tsm, dtsm, _yT, _s2T, suma,
          B, J, N, J8, Bp, Np, Nc) = _prep(
-            a, b, c, d, t, y, sigma2, block_b, chunk)
+            a, b, c, d, t, y, sigma2, block_b, chunk, dt_in=dt)
         nv = jnp.full((1, Bp), N, dtype)
     gp = _pad_axis(jnp.asarray(g, dtype)[None, :], Bp, 1)
     call = functools.partial(

@@ -74,7 +74,7 @@ def _uniform_step(suma):
 
 
 def factor_solve_seq_sharded(
-    a, b, c, d, t, y, sigma2, mesh: Mesh, axis_name: str = "seq"
+    a, b, c, d, t, y, sigma2, mesh: Mesh, axis_name: str = "seq", dt=None
 ) -> Tuple[jax.Array, jax.Array]:
     """(D, zp) of the global series, computed blockwise across the mesh.
 
@@ -89,7 +89,7 @@ def factor_solve_seq_sharded(
     N = t.shape[0]
     if N % n_dev != 0:
         raise ValueError(f"N={N} not divisible by mesh axis size {n_dev}")
-    uv = build_uv(a, b, c, d, t)
+    uv = build_uv(a, b, c, d, t, dt=dt)
     U, V, phi = uv
     R = U.shape[-1]
     suma = jnp.sum(a)
@@ -150,7 +150,7 @@ def factor_solve_seq_sharded(
 
 
 def logl_seq_sharded(
-    a, b, c, d, t, y, sigma2, mesh: Mesh, axis_name: str = "seq"
+    a, b, c, d, t, y, sigma2, mesh: Mesh, axis_name: str = "seq", dt=None
 ):
     """Celerite log-likelihood with the SEQUENCE axis sharded over devices.
 
@@ -160,7 +160,7 @@ def logl_seq_sharded(
     the O(R^2) carry per block boundary — tiny against HBM traffic.
     """
     D, zp = factor_solve_seq_sharded(
-        a, b, c, d, t, y, sigma2, mesh, axis_name
+        a, b, c, d, t, y, sigma2, mesh, axis_name, dt=dt
     )
     N = y.shape[0]
     logdet = stable_sum(jnp.log(jnp.abs(D)))
