@@ -160,13 +160,18 @@ def main():
                 jax.vmap(prior.from_unconstrained)(Z))
 
         # 512 chains fill the Pallas lane blocks (4 x 128) and give the
-        # rank-normalized diagnostics real cross-chain power; 500-step
-        # warmup is what the f1-spans-a-decade posterior needs to pull
-        # prior-scattered chains in (300 left rhat ~ 1.6)
+        # rank-normalized diagnostics real cross-chain power. Chains
+        # start from the best of 8192 prior draws (one batched
+        # likelihood sweep): raw prior inits leave a fraction of chains
+        # stranded on the f1 degeneracy's flat tails and rhat ~ 1.6
+        # even after 500 warmup steps.
         C = 512
-        k1, k2 = jax.random.split(jax.random.PRNGKey(2))
-        z0 = jax.vmap(prior.to_unconstrained)(
-            jax.vmap(prior.sample)(jax.random.split(k1, C)))
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+        z_cand = jax.vmap(prior.to_unconstrained)(
+            jax.vmap(prior.sample)(jax.random.split(k1, 8192)))
+        lp_cand = logpost_batch(z_cand)
+        top = jnp.argsort(lp_cand)[-C:]
+        z0 = z_cand[top]
         t0 = time.perf_counter()
         samples_z, st = run_chees_stepped(
             prior.unconstrained_logpdf, z0, k2,

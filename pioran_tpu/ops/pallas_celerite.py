@@ -50,6 +50,12 @@ __all__ = ["batched_loglike", "batched_loglike_pallas",
 _LOG2PI = math.log(2.0 * math.pi)
 
 
+def _exp_neg(u):
+    from .celerite import exp_neg
+
+    return exp_neg(u)
+
+
 def _pad_axis(x, size, axis, fill=0.0):
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -78,8 +84,10 @@ def build_tables(a, b, c, d, t) -> Tuple[jax.Array, jax.Array, jax.Array]:
     # interleave keeps the table build at HBM bandwidth.
     U = jnp.concatenate([aT * co + bT * si, aT * si - bT * co], axis=1)
     V = jnp.concatenate([co, si], axis=1)
+    from .celerite import exp_neg
+
     dt = jnp.diff(t)
-    ec = jnp.exp(-dt[:, None, None] * cT[None])  # (N-1, J, B)
+    ec = exp_neg(dt[:, None, None] * cT[None])  # (N-1, J, B)
     phi = jnp.concatenate([ec, ec], axis=1)
     phi = jnp.concatenate([jnp.zeros_like(phi[:1]), phi], axis=0)
     return U, V, phi
@@ -293,7 +301,7 @@ def _fused_kernel(n_steps, chunk, per_lane_t,
         si = jnp.sin(dv * tn)
         U0 = av * co + bv * si
         U1 = av * si - bv * co
-        ec = jnp.exp(cv * (-dtn))  # (J, Bblk)
+        ec = _exp_neg(cv * dtn)  # (J, Bblk) — accurate f32 exp
 
         f0, f1, W0p, W1p = fW[0], fW[1], fW[2], fW[3]
         D_prev = acc[0, :]

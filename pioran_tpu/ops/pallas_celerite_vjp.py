@@ -50,7 +50,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from .pallas_celerite import _pad_axis
+from .pallas_celerite import _exp_neg, _pad_axis
 
 __all__ = ["fwd_aug_pallas", "bwd_pallas", "value_and_grad_tables",
            "auto_tiles", "fits_vmem"]
@@ -172,7 +172,7 @@ def _fwd_aug_kernel(n_steps, chunk, kc, per_lane_t,
         si = jnp.sin(dv * tn)
         U0 = av * co + bv * si
         U1 = av * si - bv * co
-        ec = jnp.exp(cv * (-dtn))
+        ec = _exp_neg(cv * dtn)
 
         f0, f1, W0p, W1p = fW[0], fW[1], fW[2], fW[3]
         D_prev = acc[0, :]
@@ -587,7 +587,7 @@ def _bwd_kernel(n_steps, kc, per_lane_t,
                 dtn = dt_ref[0, km1, :]
             else:
                 dtn = dt_ref[chunk_idx, km1]
-            ec = jnp.exp(cv * (-dtn))
+            ec = _exp_neg(cv * dtn)
             ee = ec[:, None, :] * ec[None, :, :]
             S00 = ee * Tst[km1, 0]
             S01 = ee * Tst[km1, 1]
@@ -620,7 +620,7 @@ def _bwd_kernel(n_steps, kc, per_lane_t,
         si = jnp.sin(dv * tn)
         U0 = av * co + bv * si
         U1 = av * si - bv * co
-        ec = jnp.exp(cv * (-dtn))
+        ec = _exp_neg(cv * dtn)
         ee = ec[:, None, :] * ec[None, :, :]
 
         W0 = w0_ref[k]

@@ -40,7 +40,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.celerite import build_uv, stable_sum
+from ..ops.celerite import build_uv, exp_neg, stable_sum
 
 __all__ = ["logl_seq_sharded", "factor_solve_seq_sharded",
            "logl_seq_pipelined"]
@@ -220,7 +220,7 @@ def logl_seq_pipelined(
             td = t_l[:, None] * dm[None, :]
             co = jnp.cos(td)
             si = jnp.sin(td)
-            ec = jnp.exp(-dt_l[:, None] * cm[None, :])
+            ec = exp_neg(dt_l[:, None] * cm[None, :])
             return co, si, ec
 
         def run_block(carry, am, bm, cm, dm, sm, y_row, s2_row):
