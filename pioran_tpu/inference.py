@@ -228,6 +228,7 @@ def double_bending_model(
     theta = (a1, a2, a3, f1, f2, variance, nu, mu) with ordered alphas
     (a1 ~ U(0, 1.5), a2 ~ U(a1, 4), a3 ~ U(a2, 4), double_pl.jl:96-100)
     and ordered bend frequencies."""
+    dt64 = jnp.asarray(np.diff(np.asarray(t, np.float64)))
     t = jnp.asarray(t)
     y = jnp.asarray(y)
     yerr = jnp.asarray(yerr)
@@ -254,7 +255,7 @@ def double_bending_model(
 
     def loglike(th):
         a, b, c, d, yv, s2 = coeff_fn(th)
-        return cel.logl(a, b, c, d, t, yv, s2)
+        return cel.logl(a, b, c, d, t, yv, s2, dt=dt64)
 
     def gp_model(tt, yy, ee, th):
         a1, a2, a3, f1, f2, var, nu, mu = (th[i] for i in range(8))
@@ -273,7 +274,7 @@ def double_bending_model(
                           "norm": "variance", "scale_err": "ν", "mean": "μ"},
         t=np.asarray(t), y=np.asarray(y), yerr=np.asarray(yerr),
         f_min=f_min, f_max=f_max,
-        loglike_batch=_batched_loglike_from_coeffs(coeff_fn, t),
+        loglike_batch=_batched_loglike_from_coeffs(coeff_fn, t, dt=dt64),
     )
 
 
@@ -293,6 +294,7 @@ def periodic_rednoise_model(
     """
     from .models.gp import CustomMean
 
+    dt64 = jnp.asarray(np.diff(np.asarray(t, np.float64)))
     t = jnp.asarray(t)
     y = jnp.asarray(y)
     yerr = jnp.asarray(yerr)
@@ -326,7 +328,7 @@ def periodic_rednoise_model(
 
     def loglike(th):
         a, b, c, d, yv, s2 = coeff_fn(th)
-        return cel.logl(a, b, c, d, t, yv, s2)
+        return cel.logl(a, b, c, d, t, yv, s2, dt=dt64)
 
     def gp_model(tt, yy, ee, th):
         a1, a2, f1, var, nu, mu, A, phi, T0 = (th[i] for i in range(9))
@@ -345,7 +347,7 @@ def periodic_rednoise_model(
                           "scale_err": "ν", "mean": ["A", "ϕ", "T₀", "μ"]},
         t=np.asarray(t), y=np.asarray(y), yerr=np.asarray(yerr),
         f_min=f_min, f_max=f_max,
-        loglike_batch=_batched_loglike_from_coeffs(coeff_fn, t),
+        loglike_batch=_batched_loglike_from_coeffs(coeff_fn, t, dt=dt64),
     )
 
 
@@ -381,6 +383,7 @@ def carma_model(
     """
     from .models.carma import carma_celerite_coefs_real, poly_from_conjugate_pairs
 
+    dt64 = jnp.asarray(np.diff(np.asarray(t, np.float64)))
     t = jnp.asarray(t)
     y = jnp.asarray(y)
     yerr = jnp.asarray(yerr)
@@ -455,7 +458,7 @@ def carma_model(
 
     def loglike(th):
         a, b, cc, d, yv, s2 = coeff_fn(th)
-        return cel.logl(a, b, cc, d, t, yv, s2)
+        return cel.logl(a, b, cc, d, t, yv, s2, dt=dt64)
 
     def gp_model(tt, yy, ee, th):
         from .models.kernels import CeleriteKernel
@@ -479,7 +482,7 @@ def carma_model(
                           **({"log_transform": "c"} if use_c else {})},
         t=np.asarray(t), y=np.asarray(y), yerr=np.asarray(yerr),
         f_min=f_min, f_max=f_max,
-        loglike_batch=_batched_loglike_from_coeffs(coeff_fn, t),
+        loglike_batch=_batched_loglike_from_coeffs(coeff_fn, t, dt=dt64),
     )
     spec.carma_pq = (p, q)
     return spec

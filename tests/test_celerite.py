@@ -201,3 +201,29 @@ def test_logl_masked_matches_sliced():
     ref = float(cel.logl(a, b, c, d, t[:nv], y[:nv], s2[:nv]))
     out = float(cel.logl_masked(a, b, c, d, tp, y, s2p, nv))
     assert abs(ref - out) < 1e-9
+
+
+def test_exp_neg_accuracy_and_f64_passthrough():
+    """ops.celerite.exp_neg: ~ulp-accurate f32 exp(-u) (TPU's native
+    f32 exp is ~30 ulps off near 1, which alone grew the long-N f32
+    likelihood error linearly — benchmarks/GRID.md r3 vs r4); exact
+    jnp.exp passthrough in f64."""
+    from pioran_tpu.ops.celerite import exp_neg
+
+    rng = np.random.default_rng(0)
+    u64 = np.concatenate([rng.uniform(0, 0.05, 20000),
+                          rng.uniform(0, 2.0, 20000),
+                          rng.uniform(2.0, 20.0, 5000)])
+    u32 = jnp.asarray(u64, jnp.float32)
+    got = np.asarray(exp_neg(u32)).astype(np.float64)
+    truth = np.exp(-np.asarray(u32, np.float64))
+    rel = np.abs(got - truth) / truth
+    u_arr = np.asarray(u32, np.float64)
+    # the regime that matters (phi not yet decayed away): ~ulp accuracy
+    assert rel[u_arr < 2.0].max() < 2e-7, rel[u_arr < 2.0].max()
+    # large u floors at the f32 range-reduction subtraction (~u eps/2)
+    assert rel.max() < 2e-6, rel.max()
+
+    uf64 = jnp.asarray(u64, jnp.float64)
+    np.testing.assert_array_equal(np.asarray(exp_neg(uf64)),
+                                  np.asarray(jnp.exp(-uf64)))
