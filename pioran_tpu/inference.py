@@ -906,6 +906,14 @@ def run_inference_many(
         return np.concatenate([x, np.full(Nmax - len(x), fill_mode, dtype)])
 
     T = jnp.asarray(np.stack([pad_row(d[0], "edge") for d in datasets]))
+    # per-lane spacings in host f64 (edge padding -> trailing zeros),
+    # cast after the diff (see ops/celerite.py build_uv)
+    def _dt_row(x):
+        x = np.asarray(x, np.float64)
+        full = np.concatenate([x, np.full(Nmax - len(x), x[-1])])
+        return np.diff(full)
+
+    DT = jnp.asarray(np.stack([_dt_row(d[0]) for d in datasets]), dtype)
     Y = jnp.asarray(np.stack([pad_row(d[1], 1.0) for d in datasets]))
     E = jnp.asarray(np.stack([pad_row(d[2], 1.0) for d in datasets]))
     NV = jnp.asarray(Ns, dtype)
@@ -945,7 +953,8 @@ def run_inference_many(
         yv = YN[ds_of_row] - mu[:, None]
         s2 = TH[:, 4][:, None] * E[ds_of_row] ** 2 / Y[ds_of_row] ** 2
         nv = NV[ds_of_row]
-        return batched_loglike_multi(a, b, c, d, t_rows, yv, s2, nv)
+        return batched_loglike_multi(a, b, c, d, t_rows, yv, s2, nv,
+                                     DT[ds_of_row])
 
     def logpost_batch(Z):
         lp = jax.vmap(prior.unconstrained_logpdf)(Z)

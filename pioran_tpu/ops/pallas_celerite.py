@@ -448,7 +448,7 @@ def batched_loglike_pallas_fused(
 
 
 def batched_loglike_pallas_multi(
-    a, b, c, d, t, y, sigma2, n_valid=None,
+    a, b, c, d, t, y, sigma2, n_valid=None, dt=None,
     *, block_b: int = 128, chunk: int = 128, interpret: bool = False,
 ):
     """Fused batched likelihood with PER-CHAIN time grids — the data-
@@ -488,11 +488,18 @@ def batched_loglike_pallas_multi(
     Np = -(-N // chunk) * chunk
     Nc = Np // chunk
     tp = jnp.pad(t, ((0, 0), (0, Np - N)), mode="edge") if Np > N else t
-    dt = jnp.concatenate(
-        [jnp.zeros((Bp, 1), dtype), jnp.diff(tp, axis=1)], axis=1
-    )
+    if dt is None:
+        dtv = jnp.concatenate(
+            [jnp.zeros((Bp, 1), dtype), jnp.diff(tp, axis=1)], axis=1
+        )
+    else:
+        # host-f64-computed per-lane spacings (ops.celerite.build_uv)
+        dtv = jnp.concatenate(
+            [jnp.zeros((Bp, 1), dtype),
+             _pad_axis(_pad_axis(jnp.asarray(dt, dtype), Bp, 0),
+                       Np - 1, 1)], axis=1)
     tT = tp.T  # (Np, Bp)
-    dtT = dt.T
+    dtT = dtv.T
     yT = _pad_axis(y.T, Np, 0)
     s2T = _pad_axis(sigma2.T, Np, 0, fill=1.0)
     suma = jnp.sum(a, axis=1)[None, :]
@@ -602,31 +609,38 @@ def _bwd(res, g):
 batched_loglike.defvjp(_fwd, _bwd)
 
 
-def _scan_batched_multi(a, b, c, d, T, y, sigma2, n_valid):
+def _scan_batched_multi(a, b, c, d, T, y, sigma2, n_valid, dt=None):
     from . import celerite as cel
 
     s2m = jnp.where(
         jnp.arange(T.shape[-1])[None, :] < n_valid[:, None], sigma2, 1.0
     )
-    return jax.vmap(cel.logl_masked)(a, b, c, d, T, y, s2m, n_valid)
+    if dt is None:
+        return jax.vmap(cel.logl_masked)(a, b, c, d, T, y, s2m, n_valid)
+    return jax.vmap(
+        lambda aa, bb, cc, dd, tt, yy, ss, nn, dtt: cel.logl_masked(
+            aa, bb, cc, dd, tt, yy, ss, nn, dt=dtt)
+    )(a, b, c, d, T, y, s2m, n_valid, dt)
 
 
 @jax.custom_vjp
-def batched_loglike_multi(a, b, c, d, T, y, sigma2, n_valid):
+def batched_loglike_multi(a, b, c, d, T, y, sigma2, n_valid, dt=None):
     """Differentiable multi-dataset batched likelihood.
 
     Per-chain time grids T (B, N) and float valid lengths ``n_valid``
     (B,). Pallas kernel forward on TPU, masked-scan elsewhere; the VJP
     re-runs the masked scan under jax.vjp (identical adjoint on every
-    backend). ``n_valid`` is treated as non-differentiable.
+    backend). ``n_valid`` is treated as non-differentiable. ``dt``
+    (optional, (B, N-1)): per-lane host-f64-computed spacings,
+    non-differentiable.
     """
     if _on_tpu():
         return batched_loglike_pallas_multi(a, b, c, d, T, y, sigma2,
-                                            n_valid=n_valid)
-    return _scan_batched_multi(a, b, c, d, T, y, sigma2, n_valid)
+                                            n_valid=n_valid, dt=dt)
+    return _scan_batched_multi(a, b, c, d, T, y, sigma2, n_valid, dt=dt)
 
 
-def _multi_fwd(a, b, c, d, T, y, sigma2, n_valid):
+def _multi_fwd(a, b, c, d, T, y, sigma2, n_valid, dt=None):
     from .pallas_celerite_vjp import fits_vmem
 
     if _on_tpu() and fits_vmem(a.shape[1], n=T.shape[-1], batch=a.shape[0]):
@@ -637,14 +651,16 @@ def _multi_fwd(a, b, c, d, T, y, sigma2, n_valid):
         s2m = jnp.where(
             jnp.arange(T.shape[-1])[None, :] < n_valid[:, None], sigma2, 1.0
         )
-        ll, tables = fwd_aug_pallas(a, b, c, d, T, y, s2m, n_valid=n_valid)
-        return ll, (a, b, c, d, T, y, sigma2, n_valid, ll, tables)
-    return batched_loglike_multi(a, b, c, d, T, y, sigma2, n_valid), (
-        a, b, c, d, T, y, sigma2, n_valid, None, None)
+        ll, tables = fwd_aug_pallas(a, b, c, d, T, y, s2m, n_valid=n_valid,
+                                    dt=dt)
+        return ll, (a, b, c, d, T, y, sigma2, n_valid, dt, ll, tables)
+    return batched_loglike_multi(a, b, c, d, T, y, sigma2, n_valid, dt), (
+        a, b, c, d, T, y, sigma2, n_valid, dt, None, None)
 
 
 def _multi_bwd(res, g):
-    a, b, c, d, T, y, sigma2, n_valid, ll, tables = res
+    a, b, c, d, T, y, sigma2, n_valid, dt, ll, tables = res
+    dtbar = None if dt is None else jnp.zeros_like(dt)
     if tables is not None:
         from .pallas_celerite_vjp import bwd_pallas
 
@@ -653,18 +669,18 @@ def _multi_bwd(res, g):
             jnp.arange(T.shape[-1])[None, :] < n_valid[:, None], sigma2, 1.0
         )
         abar, bbar, cbar, dbar, tbar, ybar, s2bar = bwd_pallas(
-            a, b, c, d, T, y, s2m, tables, g, n_valid=n_valid)
+            a, b, c, d, T, y, s2m, tables, g, n_valid=n_valid, dt=dt)
         live = jnp.arange(T.shape[-1])[None, :] < n_valid[:, None]
         tbar = jnp.where(live, tbar, 0.0)
         ybar = jnp.where(live, ybar, 0.0)
         s2bar = jnp.where(live, s2bar, 0.0)
         return (abar, bbar, cbar, dbar, tbar, ybar, s2bar,
-                jnp.zeros_like(n_valid))
+                jnp.zeros_like(n_valid), dtbar)
     _, vjp = jax.vjp(
-        lambda *args: _scan_batched_multi(*args, n_valid), a, b, c, d, T, y,
-        sigma2,
+        lambda *args: _scan_batched_multi(*args, n_valid, dt=dt), a, b, c, d,
+        T, y, sigma2,
     )
-    return (*vjp(g), jnp.zeros_like(n_valid))
+    return (*vjp(g), jnp.zeros_like(n_valid), dtbar)
 
 
 batched_loglike_multi.defvjp(_multi_fwd, _multi_bwd)

@@ -283,8 +283,13 @@ def _prep(a, b, c, d, t, y, sigma2, block_b, chunk, dt_in=None):
             B, J, N, J8, Bp, Np, Nc)
 
 
-def _prep_multi(a, b, c, d, T, y, sigma2, n_valid, block_b, chunk):
-    """Padding/layout when every lane has its own time grid."""
+def _prep_multi(a, b, c, d, T, y, sigma2, n_valid, block_b, chunk,
+                dt_in=None):
+    """Padding/layout when every lane has its own time grid.
+
+    ``dt_in`` (optional, (B, N-1)): per-lane spacings computed in host
+    f64 (see ops.celerite.build_uv) — used verbatim instead of
+    diff(T)."""
     B, J = a.shape
     N = T.shape[-1]
     dtype = y.dtype
@@ -305,8 +310,14 @@ def _prep_multi(a, b, c, d, T, y, sigma2, n_valid, block_b, chunk):
     Np = -(-N // chunk) * chunk
     Nc = Np // chunk
     Tp = jnp.pad(T, ((0, 0), (0, Np - N)), mode="edge") if Np > N else T
-    dt = jnp.concatenate(
-        [jnp.zeros((Bp, 1), dtype), jnp.diff(Tp, axis=1)], axis=1)
+    if dt_in is None:
+        dt = jnp.concatenate(
+            [jnp.zeros((Bp, 1), dtype), jnp.diff(Tp, axis=1)], axis=1)
+    else:
+        dt = jnp.concatenate(
+            [jnp.zeros((Bp, 1), dtype),
+             _pad_axis(_pad_axis(jnp.asarray(dt_in, dtype), Bp, 0),
+                       Np - 1, 1)], axis=1)
     tT = Tp.T.reshape(Nc, chunk, Bp)
     dtT = dt.T.reshape(Nc, chunk, Bp)
     yT = _pad_axis(y.T, Np, 0).reshape(Nc, chunk, Bp)
@@ -465,7 +476,7 @@ def fwd_aug_pallas(a, b, c, d, t, y, sigma2, n_valid=None, dt=None,
     if per_lane_t:
         (aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma, nv,
          B, J, N, J8, Bp, Np, Nc) = _prep_multi(
-            a, b, c, d, t, y, sigma2, n_valid, block_b, chunk)
+            a, b, c, d, t, y, sigma2, n_valid, block_b, chunk, dt_in=dt)
     else:
         (aT, bT, cT, dT, tsm, dtsm, yT, s2T, suma,
          B, J, N, J8, Bp, Np, Nc) = _prep(
@@ -860,7 +871,7 @@ def bwd_pallas(a, b, c, d, t, y, sigma2, residuals, g, n_valid=None,
     if per_lane_t:
         (aT, bT, cT, dT, tsm, dtsm, _yT, _s2T, suma, nv,
          B, J, N, J8, Bp, Np, Nc) = _prep_multi(
-            a, b, c, d, t, y, sigma2, n_valid, block_b, chunk)
+            a, b, c, d, t, y, sigma2, n_valid, block_b, chunk, dt_in=dt)
     else:
         (aT, bT, cT, dT, tsm, dtsm, _yT, _s2T, suma,
          B, J, N, J8, Bp, Np, Nc) = _prep(

@@ -368,3 +368,35 @@ def test_host_f64_dt_fixes_time_grid_conditioning():
     # f32 op-order differences between the vmapped batch path and the
     # single-chain scan leave ~1e-5 relative noise
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gs), rtol=1e-3)
+
+
+def test_multi_per_lane_dt_matches_and_differentiates():
+    """batched_loglike_multi with per-lane host-f64 spacings: values
+    equal the masked scan with the same dt; gradients flow (dt
+    non-differentiable)."""
+    from pioran_tpu.ops import celerite as cel
+    from pioran_tpu.ops.pallas_celerite import (
+        _scan_batched_multi, batched_loglike_multi)
+
+    B, J, N = 3, 2, 50
+    ks = jax.random.split(jax.random.PRNGKey(5), 8)
+    T = jnp.sort(jax.random.uniform(ks[6], (B, N)) * 100, axis=1)
+    a = jax.random.uniform(ks[0], (B, J)) * 0.5 + 0.1
+    b = jax.random.uniform(ks[1], (B, J)) * 0.2
+    c = jax.random.uniform(ks[2], (B, J)) * 0.3 + 0.05
+    d = jax.random.uniform(ks[3], (B, J)) * 0.4
+    y = jax.random.normal(ks[4], (B, N))
+    s2 = jax.random.uniform(ks[5], (B, N)) * 0.1 + 0.05
+    nv = jnp.array([50.0, 33.0, 44.0])
+    dt = jnp.diff(T, axis=1)
+
+    out = batched_loglike_multi(a, b, c, d, T, y, s2, nv, dt)
+    ref = _scan_batched_multi(a, b, c, d, T, y, s2, nv, dt=dt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-12)
+    # and identical to the no-dt path when dt == diff(T)
+    ref0 = batched_loglike_multi(a, b, c, d, T, y, s2, nv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref0), rtol=1e-12)
+
+    g = jax.grad(lambda aa: jnp.sum(batched_loglike_multi(
+        aa, b, c, d, T, y, s2, nv, dt)))(a)
+    assert np.all(np.isfinite(np.asarray(g)))
