@@ -85,6 +85,11 @@ def exp_neg(u):
     """
     if u.dtype != jnp.float32:
         return jnp.exp(-u)
+    # clamp: exp(-104) already underflows f32 to 0, and for u ~ 1e13 the
+    # range reduction would cancel catastrophically (r huge -> polynomial
+    # overflows to inf while exp2(-k) underflows to 0 -> 0 * inf = NaN,
+    # where jnp.exp(-u) returns exactly 0)
+    u = jnp.minimum(u, 104.0)
     k = jnp.round(u * _INV_LN2)
     r = (u - k * _LN2_HI) - k * _LN2_LO  # in [-ln2/2, ln2/2]
     # exp(-r) via Horner (degree 7)
@@ -291,27 +296,30 @@ def logl(a, b, c, d, t, y, sigma2, mesh=None, seq_axis: str = "seq",
 
 
 def log_likelihood(kernel, t, y, sigma2, mesh=None, seq_axis: str = "seq",
-                   seq_min_n: Optional[int] = None):
+                   seq_min_n: Optional[int] = None, dt=None):
     """Log-likelihood for a CeleriteKernel (reference celerite_solver.jl:262-294).
 
     Pass ``mesh=`` to shard long series over the mesh's ``seq_axis``
-    (see :func:`logl`)."""
+    (see :func:`logl`); ``dt`` = host-f64 spacings for long dense
+    series (see :func:`build_uv`)."""
     a, b, c, d = kernel.coefficients()
     return logl(a, b, c, d, t, y, sigma2, mesh=mesh, seq_axis=seq_axis,
-                seq_min_n=seq_min_n)
+                seq_min_n=seq_min_n, dt=dt)
 
 
-def simulate(key, kernel, t, sigma2):
+def simulate(key, kernel, t, sigma2, dt=None):
     """Draw one GP realisation in O(N R) using the LDL^T factors.
 
     y_1 = sqrt(D_1) q_1;  y_n = U_n . f_n + sqrt(D_n) q_n with
     f_n = phi_{n-1} o (f_{n-1} + W_{n-1} sqrt(D_{n-1}) q_{n-1})
-    (reference celerite_solver.jl:515-549).
+    (reference celerite_solver.jl:515-549). ``dt`` = host-f64 spacings
+    (see :func:`build_uv`) so on-chip f32 simulation matches the
+    likelihood paths' accuracy at long N.
     """
     a, b, c, d = kernel.coefficients()
     N = t.shape[0]
     q = jax.random.normal(key, (N,), dtype=t.dtype)
-    uv = build_uv(a, b, c, d, t)
+    uv = build_uv(a, b, c, d, t, dt=dt)
     U, V, phi = uv
     R = U.shape[-1]
     suma = jnp.sum(a)
@@ -333,21 +341,22 @@ def simulate(key, kernel, t, sigma2):
     return jnp.concatenate([sqrtD_q[:1], y_rest])
 
 
-def predict_matmul(kernel, tau, t, y, sigma2):
+def predict_matmul(kernel, tau, t, y, sigma2, dt=None):
     """Posterior mean at ``tau``: O(N) solve + one (M,N)x(N,) MXU matmul.
 
     TPU-first default: z = K^{-1} y via the celerite scans, then
     mu = K(tau, t) @ z. The cross-covariance matmul is an ideal MXU op for
     the N, M this domain uses (10^2..10^4). For very long series use
-    :func:`predict` (O((N+M) R) scan, same result).
+    :func:`predict` (O((N+M) R) scan, same result). ``dt`` = host-f64
+    spacings for the solve (see :func:`build_uv`).
     """
     a, b, c, d = kernel.coefficients()
-    z, *_ = celerite_factor_solve(a, b, c, d, t, y, sigma2)
+    z, *_ = celerite_factor_solve(a, b, c, d, t, y, sigma2, dt=dt)
     Kcross = kernel(jnp.abs(tau[:, None] - t[None, :]))
     return Kcross @ z
 
 
-def predict(kernel, tau, t, y, sigma2):
+def predict(kernel, tau, t, y, sigma2, dt=None):
     """Posterior mean at ``tau`` in O((N+M) R) via gated forward/backward scans.
 
     Scan analog of the reference's O(N+M) predictor
@@ -355,9 +364,14 @@ def predict(kernel, tau, t, y, sigma2):
     decayed sufficient statistic of all data points with t_n < tau_m, a
     backward sweep the one with t_n > tau_m; gating is by precomputed
     `searchsorted` indices instead of data-dependent control flow.
+
+    ``dt`` = host-f64 spacings: the solve AND the sweeps' decay factors
+    then use correctly-rounded spacings + :func:`exp_neg`, so on-chip
+    f32 prediction carries the same accuracy story as the likelihood.
     """
     a, b, c, d = kernel.coefficients()
-    z, *_ = celerite_factor_solve(a, b, c, d, t, y, sigma2)
+    z, *_ = celerite_factor_solve(a, b, c, d, t, y, sigma2, dt=dt)
+    dt_arr = jnp.diff(t) if dt is None else jnp.asarray(dt, t.dtype)
 
     M = tau.shape[0]
     # n0[m] = number of data points with t_n <= tau_m
@@ -366,29 +380,29 @@ def predict(kernel, tau, t, y, sigma2):
     # ---- forward: Qf[k] = sum_{n<=k} z_n [cos(d t_n); sin(d t_n)] decayed to t_k
     def fwd(carry, inp):
         Q = carry
-        tn, t_prev, zn = inp
-        Q = Q * jnp.exp(-c * (tn - t_prev))[None, :] + zn * jnp.stack(
+        tn, dtn, zn = inp
+        Q = Q * exp_neg(c * dtn)[None, :] + zn * jnp.stack(
             [jnp.cos(d * tn), jnp.sin(d * tn)]
         )
         return Q, Q
 
     J = a.shape[0]
     Q0 = jnp.zeros((2, J), dtype=t.dtype)
-    t_prev = jnp.concatenate([t[:1], t[:-1]])
-    _, Qf = lax.scan(fwd, Q0, (t, t_prev, z))  # (N, 2, J)
+    dt_prev = jnp.concatenate([jnp.zeros((1,), t.dtype), dt_arr])
+    _, Qf = lax.scan(fwd, Q0, (t, dt_prev, z))  # (N, 2, J)
 
     # ---- backward: Qb[k] = sum_{n>=k} z_n [a cos + b sin; a sin - b cos](t_n) decayed to t_k
     def bwd(carry, inp):
         Q = carry
-        tn, t_next, zn = inp
-        Q = Q * jnp.exp(-c * (t_next - tn))[None, :] + zn * jnp.stack(
+        tn, dtn, zn = inp
+        Q = Q * exp_neg(c * dtn)[None, :] + zn * jnp.stack(
             [a * jnp.cos(d * tn) + b * jnp.sin(d * tn),
              a * jnp.sin(d * tn) - b * jnp.cos(d * tn)]
         )
         return Q, Q
 
-    t_next = jnp.concatenate([t[1:], t[-1:]])
-    _, Qb = lax.scan(bwd, Q0, (t, t_next, z), reverse=True)  # (N, 2, J)
+    dt_next = jnp.concatenate([dt_arr, jnp.zeros((1,), t.dtype)])
+    _, Qb = lax.scan(bwd, Q0, (t, dt_next, z), reverse=True)  # (N, 2, J)
 
     # ---- combine per target point
     def combine(m):
@@ -400,7 +414,7 @@ def predict(kernel, tau, t, y, sigma2):
         # clamp: when there is no left point, tm - tl < 0 and the decay
         # would overflow -> inf * 0 = NaN inside the masked branch
         # (harmless for values, but trips jax_debug_nans)
-        decay_l = jnp.exp(-c * jnp.maximum(tm - tl, 0.0))
+        decay_l = exp_neg(c * jnp.maximum(tm - tl, 0.0))
         mu_left = jnp.sum(
             decay_l
             * (
@@ -414,7 +428,7 @@ def predict(kernel, tau, t, y, sigma2):
         has_right = n0[m] < t.shape[0]
         tr = t[jnp.clip(n_right, 0, t.shape[0] - 1)]
         Qr = Qb[jnp.clip(n_right, 0, t.shape[0] - 1)]
-        decay_r = jnp.exp(-c * jnp.maximum(tr - tm, 0.0))
+        decay_r = exp_neg(c * jnp.maximum(tr - tm, 0.0))
         mu_right = jnp.sum(
             decay_r * (Qr[0] * jnp.cos(d * tm) + Qr[1] * jnp.sin(d * tm))
         )

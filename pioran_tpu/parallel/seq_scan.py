@@ -172,7 +172,7 @@ def logl_seq_sharded(
 
 def logl_seq_pipelined(
     a, b, c, d, t, Y, S2, mesh: Mesh, axis_name: str = "seq",
-    n_micro: int = None,
+    n_micro: int = None, dt=None,
 ):
     """Batched celerite log-likelihood: sequence axis sharded over the
     mesh, chain micro-batches software-pipelined around the device ring.
@@ -180,7 +180,10 @@ def logl_seq_pipelined(
     ``a..d``: (B, J) per-chain coefficients; ``t``: (N,) shared sorted
     times; ``Y``, ``S2``: (B, N) per-chain residuals / noise variances.
     N must be divisible by the mesh axis size, B by ``n_micro``
-    (default: the axis size).
+    (default: the axis size). ``dt`` (optional, (N-1,)): consecutive
+    spacings computed in f64 on the host — same contract as
+    ops.celerite.build_uv; without it ``diff(t)`` on an f32 grid loses
+    ~log2(N) bits exactly in the long-N regime this path targets.
 
     Pipeline: device k owns time block k. At ring round r, device k runs
     micro-batch ``m = r - k`` through its block (if 0 <= m < M) with the
@@ -206,8 +209,11 @@ def logl_seq_pipelined(
     mb = B // M
     dtype = Y.dtype
     # global dt (leading 0) so each block's first phi row decays against
-    # the previous block's last point
-    dt = jnp.concatenate([jnp.zeros((1,), t.dtype), jnp.diff(t)])
+    # the previous block's last point; host-f64 spacings when supplied
+    if dt is None:
+        dt = jnp.diff(t)
+    dt = jnp.concatenate(
+        [jnp.zeros((1,), t.dtype), jnp.asarray(dt, t.dtype)])
     suma = jnp.sum(a, axis=1)  # (B,)
 
     def local(t_l, dt_l, Y_l, S2_l, a_g, b_g, c_g, d_g, suma_g):

@@ -70,6 +70,7 @@ def make_chees_transition(
     target_accept: float = 0.651,
     max_leapfrogs: int = 1024,
     logp_batch_fn: Callable = None,
+    mass: str = "diag",
 ):
     """The ChEES-HMC transition kernel as a pure (carry, (it, warm)) ->
     (carry, out) function, plus its initializer.
@@ -78,8 +79,24 @@ def make_chees_transition(
     ``lax.scan`` program (:func:`run_chees` — fastest) or one jitted
     call per iteration from a host loop (:func:`run_chees_stepped` —
     survives RPC layers that kill multi-minute XLA programs, and the
-    monolithic-scan remote-compile limit)."""
+    monolithic-scan remote-compile limit).
+
+    ``mass="dense"`` adapts a FULL covariance metric from the
+    cross-chain sample covariance (hundreds of chains estimate a
+    dim~10 covariance essentially exactly) — the preconditioner that
+    unlocks the flagship model's alpha2/f1 ridge, where a diagonal
+    metric leaves HMC diffusing along the correlated direction. Dense
+    costs one extra (C,dim)x(dim,dim) matmul per leapfrog — noise next
+    to the GP likelihood. Metric updates happen every 25 warmup
+    iterations (frozen over the final windows so dual averaging
+    settles against the final metric), and each update RESTARTS dual
+    averaging centered on the current step size (Stan's windowed
+    scheme): a step size tuned for the old metric is wrong for the new
+    one."""
     dtype = jnp.dtype(dtype)
+    dense = mass == "dense"
+    if mass not in ("diag", "dense"):
+        raise ValueError(f"mass must be 'diag' or 'dense', got {mass!r}")
     if logp_batch_fn is None:
         batch_logp_grad = jax.vmap(jax.value_and_grad(logp_fn))
     else:
@@ -87,12 +104,43 @@ def make_chees_transition(
             logps, vjp = jax.vjp(logp_batch_fn, Z)
             return logps, vjp(jnp.ones_like(logps))[0]
 
-    def leapfrog_traj(z, r, grad, eps, n_steps, inv_mass):
+    # metric helpers: `chol` is the Cholesky factor of the estimated
+    # posterior covariance Sigma (momenta r ~ N(0, Sigma^{-1}), velocity
+    # v = Sigma r, kinetic energy = |chol^T r|^2 / 2). For diag, chol is
+    # the (dim,) vector of posterior stddevs — same formulas, O(dim).
+    if dense:
+        def draw_momentum(key, chol):
+            xi = jax.random.normal(key, (C, dim), dtype)
+            # r = L^{-T} xi  ->  cov(r) = (L L^T)^{-1} = Sigma^{-1}
+            return jax.scipy.linalg.solve_triangular(
+                chol.T, xi.T, lower=False).T
+
+        def velocity(r, chol):
+            return (r @ chol) @ chol.T
+
+        def kinetic(r, chol):
+            return 0.5 * jnp.sum((r @ chol) ** 2, axis=1)
+    else:
+        def draw_momentum(key, chol):
+            xi = jax.random.normal(key, (C, dim), dtype)
+            return xi / chol[None, :]
+
+        def velocity(r, chol):
+            return r * (chol ** 2)[None, :]
+
+        def kinetic(r, chol):
+            return 0.5 * jnp.sum((r * chol[None, :]) ** 2, axis=1)
+
+    # metric frozen over the last windows so the final step size is
+    # adapted against the final metric (Stan's terminal fast interval)
+    freeze_tail = min(100, max(num_warmup // 4, 1))
+
+    def leapfrog_traj(z, r, grad, eps, n_steps, chol):
         """n_steps leapfrogs for the whole batch (shared traced bound)."""
         def body(_, state):
             z, r, logp, grad = state
             r_half = r + 0.5 * eps * grad
-            z_new = z + eps * (inv_mass * r_half)
+            z_new = z + eps * velocity(r_half, chol)
             logp_new, grad_new = batch_logp_grad(z_new)
             r_new = r_half + 0.5 * eps * grad_new
             return z_new, r_new, logp_new, grad_new
@@ -103,11 +151,11 @@ def make_chees_transition(
         return z, r, logp, grad
 
     def transition(carry, inp):
-        (z, logp, grad, step_size, log_tau, adam, da, inv_mass, var_ema, key) = carry
+        (z, logp, grad, step_size, log_tau, adam, da, chol, cov_ema, key) = carry
         it, is_warmup = inp
         key, k_mom, k_acc = jax.random.split(key, 3)
 
-        r0 = jnp.sqrt(1.0 / inv_mass)[None, :] * jax.random.normal(k_mom, (C, dim), dtype)
+        r0 = draw_momentum(k_mom, chol)
         # jittered trajectory length, shared across chains (Halton sequence)
         h = _halton(it).astype(dtype)
         tau = jnp.exp(log_tau)
@@ -116,11 +164,11 @@ def make_chees_transition(
         n_steps = jnp.minimum(n_steps, max_leapfrogs)
 
         z_new, r_new, logp_new, grad_new = leapfrog_traj(
-            z, r0, grad, step_size, n_steps, inv_mass
+            z, r0, grad, step_size, n_steps, chol
         )
         # MH accept per chain
-        ke0 = 0.5 * jnp.sum(r0 * (inv_mass[None, :] * r0), axis=1)
-        ke1 = 0.5 * jnp.sum(r_new * (inv_mass[None, :] * r_new), axis=1)
+        ke0 = kinetic(r0, chol)
+        ke1 = kinetic(r_new, chol)
         log_alpha = (logp_new - ke1) - (logp - ke0)
         log_alpha = jnp.where(jnp.isfinite(log_alpha), log_alpha, -jnp.inf)
         accept_prob = jnp.minimum(1.0, jnp.exp(log_alpha))
@@ -134,7 +182,7 @@ def make_chees_transition(
         zbar_new = jnp.mean(z_new, axis=0)
         dsq_old = jnp.sum((z - zbar) ** 2, axis=1)
         dsq_new = jnp.sum((z_new - zbar_new) ** 2, axis=1)
-        v_new = inv_mass[None, :] * r_new   # final velocity
+        v_new = velocity(r_new, chol)       # final velocity
         proj = jnp.sum((z_new - zbar_new) * v_new, axis=1)
         per_chain = (dsq_new - dsq_old) * proj
         # divergent trajectories produce non-finite z_new/proj; they must
@@ -163,11 +211,32 @@ def make_chees_transition(
         ls = mu - jnp.sqrt(cnt) / 0.05 * hsum / (cnt + 10.0)
         eta = cnt ** (-0.75)
         ls_avg = eta * ls + (1 - eta) * ls_avg
-        da = (ls, ls_avg, hsum, mu, cnt)
 
-        # ---- mass matrix: EMA of cross-chain variance ----
-        var_now = jnp.var(z_next, axis=0) + 1e-6
-        var_ema = 0.9 * var_ema + 0.1 * var_now
+        # ---- metric: EMA of the cross-chain (co)variance ----
+        if dense:
+            zc = z_next - jnp.mean(z_next, axis=0)[None, :]
+            cov_now = (zc.T @ zc) / max(C - 1, 1)
+            cov_now = cov_now + 1e-6 * jnp.eye(dim, dtype=dtype)
+            cov_ema = 0.9 * cov_ema + 0.1 * cov_now
+            # ridge keeps the factorization well-posed early on, when
+            # chains are still clustered and the sample cov is singular
+            ridge = 1e-6 * (jnp.trace(cov_ema) / dim + 1.0)
+            chol_cand = jnp.linalg.cholesky(
+                cov_ema + ridge * jnp.eye(dim, dtype=dtype))
+        else:
+            var_now = jnp.var(z_next, axis=0) + 1e-6
+            cov_ema = 0.9 * cov_ema + 0.1 * var_now
+            chol_cand = jnp.sqrt(cov_ema)
+
+        do_update = is_warmup & (it % 25 == 24) & (
+            it < num_warmup - freeze_tail)
+        chol = jnp.where(do_update, chol_cand, chol)
+        # windowed scheme: a new metric invalidates the tuned step size;
+        # restart dual averaging centered on the current iterate
+        mu = jnp.where(do_update, jnp.log(10.0) + ls, mu)
+        hsum = jnp.where(do_update, 0.0, hsum)
+        cnt = jnp.where(do_update, 0.0, cnt)
+        da = (ls, ls_avg, hsum, mu, cnt)
 
         # during warmup follow the DA iterate; on the last warmup step
         # freeze at the DA average for the sampling phase
@@ -177,10 +246,9 @@ def make_chees_transition(
             step_size,
         )
         log_tau = jnp.where(is_warmup, log_tau_new, log_tau)
-        inv_mass = jnp.where(is_warmup & (it % 25 == 24), var_ema, inv_mass)
 
         carry = (z_next, logp_next, grad_next, step_size_new, log_tau, adam,
-                 da, inv_mass, var_ema, key)
+                 da, chol, cov_ema, key)
         out = (z_next, logp_next, mean_accept, n_steps)
         return carry, out
 
@@ -191,19 +259,28 @@ def make_chees_transition(
                jnp.zeros((), dtype))
         adam0 = _AdamState(jnp.zeros((), dtype), jnp.zeros((), dtype),
                            jnp.zeros((), jnp.int32))
+        chol0 = jnp.eye(dim, dtype=dtype) if dense else jnp.ones((dim,), dtype)
+        cov0 = jnp.eye(dim, dtype=dtype) if dense else jnp.ones((dim,), dtype)
         return (
             z0, logp0, grad0, jnp.asarray(initial_step_size, dtype),
             jnp.log(jnp.asarray(initial_traj_length, dtype)), adam0, da0,
-            jnp.ones((dim,), dtype), jnp.ones((dim,), dtype), key,
+            chol0, cov0, key,
         )
 
     return transition, init
 
 
+def _metric_stats(chol, mass):
+    """Posterior-scale diagnostics from the metric factor."""
+    if mass == "dense":
+        return jnp.sum(chol * chol, axis=1)  # diag(Sigma) = diag(L L^T)
+    return chol ** 2
+
+
 @partial(
     jax.jit,
     static_argnames=("logp_fn", "num_warmup", "num_samples", "max_leapfrogs",
-                     "logp_batch_fn"),
+                     "logp_batch_fn", "mass"),
 )
 def run_chees(
     logp_fn: Callable,
@@ -216,6 +293,7 @@ def run_chees(
     target_accept: float = 0.651,
     max_leapfrogs: int = 1024,
     logp_batch_fn: Callable = None,
+    mass: str = "diag",
 ):
     """Run ChEES-HMC on a (C, dim) batch of chains.
 
@@ -224,13 +302,15 @@ def run_chees(
     when given, every leapfrog evaluates values AND per-chain gradients
     through it in one vjp (chains decouple) — pass a Pallas-backed
     likelihood so the forward rides the fused kernel.
+    ``mass``: "diag" or "dense" (full cross-chain covariance metric —
+    see :func:`make_chees_transition`).
     Returns (samples [num_samples, C, dim], stats).
     """
     C, dim = z0.shape
     dtype = z0.dtype
     transition, init = make_chees_transition(
         logp_fn, C, dim, dtype, num_warmup, target_accept, max_leapfrogs,
-        logp_batch_fn,
+        logp_batch_fn, mass=mass,
     )
     carry = init(z0, key, initial_step_size, initial_traj_length)
     total = num_warmup + num_samples
@@ -245,7 +325,7 @@ def run_chees(
         "n_leapfrogs": nsteps,
         "step_size": carry[3],
         "traj_length": jnp.exp(carry[4]),
-        "inv_mass": carry[7],
+        "inv_mass": _metric_stats(carry[7], mass),
     }
     return samples, stats
 
@@ -262,15 +342,21 @@ def run_chees_stepped(
     max_leapfrogs: int = 1024,
     logp_batch_fn: Callable = None,
     thin: int = 1,
+    mass: str = "diag",
+    block: int = 1,
 ):
-    """:func:`run_chees`, but one jitted transition per HOST iteration.
+    """:func:`run_chees`, but ``block`` transitions per HOST iteration.
 
     Same kernel, same adaptation, same statistics — only the iteration
     loop moves to the host, so no single XLA program runs longer than
-    one transition. Use on environments whose RPC layer kills
+    ``block`` transitions. Use on environments whose RPC layer kills
     multi-minute device programs (the axon TPU tunnel) or whose remote
-    compiler rejects the monolithic scan. ``thin`` keeps every
-    ``thin``-th post-warmup draw (host memory control for big C).
+    compiler rejects the monolithic scan. ``block`` > 1 scans that many
+    iterations inside one jitted program — with ~0.2 s host dispatch
+    per call and ~4 leapfrogs per iteration, block=25 cuts wall time
+    ~2x while each program stays well under the RPC kill window.
+    ``thin`` keeps every ``thin``-th post-warmup draw (host memory
+    control for big C).
     Returns (samples [S, C, dim] numpy, stats) matching run_chees.
     """
     import numpy as np
@@ -279,28 +365,33 @@ def run_chees_stepped(
     dtype = z0.dtype
     transition, init = make_chees_transition(
         logp_fn, C, dim, dtype, num_warmup, target_accept, max_leapfrogs,
-        logp_batch_fn,
+        logp_batch_fn, mass=mass,
     )
-    trans = jax.jit(transition)
+
+    @partial(jax.jit, static_argnames=("nw",))
+    def trans_block(carry, its, nw):
+        return lax.scan(transition, carry, (its, its < nw))
+
     carry = init(z0, key, initial_step_size, initial_traj_length)
     total = num_warmup + num_samples
     samples, logps, accepts, nsteps = [], [], [], []
-    for it in range(total):
-        carry, out = trans(
-            carry, (jnp.asarray(it), jnp.asarray(it < num_warmup)))
-        z_it, logp_it, acc_it, n_it = out
-        accepts.append(float(acc_it))
-        nsteps.append(int(n_it))
-        if it >= num_warmup and (it - num_warmup) % thin == 0:
-            samples.append(np.asarray(z_it))
-            logps.append(np.asarray(logp_it))
+    for start in range(0, total, block):
+        its = jnp.arange(start, min(start + block, total))
+        carry, out = trans_block(carry, its, num_warmup)
+        z_blk, logp_blk, acc_blk, n_blk = out
+        accepts.extend(np.asarray(acc_blk).tolist())
+        nsteps.extend(np.asarray(n_blk).tolist())
+        for j, it in enumerate(range(start, min(start + block, total))):
+            if it >= num_warmup and (it - num_warmup) % thin == 0:
+                samples.append(np.asarray(z_blk[j]))
+                logps.append(np.asarray(logp_blk[j]))
     stats = {
         "logp": np.asarray(logps),
         "accept": np.asarray(accepts),
         "n_leapfrogs": np.asarray(nsteps),
         "step_size": float(carry[3]),
         "traj_length": float(jnp.exp(carry[4])),
-        "inv_mass": np.asarray(carry[7]),
+        "inv_mass": np.asarray(_metric_stats(carry[7], mass)),
     }
     return np.stack(samples), stats
 

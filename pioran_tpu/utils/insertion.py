@@ -24,6 +24,24 @@ import numpy as np
 __all__ = ["insertion_order_test"]
 
 
+def _z_crit_bisect(alpha: float) -> float:
+    """Two-sided critical z with ``erfc(z/sqrt2) = alpha``, dependency-free.
+
+    Bisection on the monotone erfc: 60 halvings of [0, 40] pin z to
+    ~7e-18 — used when scipy is absent. (A fixed constant here — the old
+    5.8, i.e. alpha ~ 1e-8 — made the no-scipy rolling test almost never
+    reject: lenient exactly where a convergence gate must be strict.)
+    """
+    lo, hi = 0.0, 40.0
+    for _ in range(60):
+        mid = 0.5 * (lo + hi)
+        if math.erfc(mid / math.sqrt(2.0)) > alpha:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
 def _rank_sum_z(r: np.ndarray, n_slots: int) -> float:
     """z-score of the rank sum vs iid discrete-uniform{0..n_slots}."""
     m = r.size
@@ -93,8 +111,8 @@ def insertion_order_test(
         from scipy.special import erfcinv
 
         z_crit = math.sqrt(2.0) * float(erfcinv(alpha))
-    except ImportError:  # conservative fallback (alpha >= 1e-8)
-        z_crit = 5.8
+    except ImportError:
+        z_crit = _z_crit_bisect(alpha)
     rejects = []
     for w in range(n_win):
         seg = r[w * batch: (w + 1) * batch if w < n_win - 1 else m]

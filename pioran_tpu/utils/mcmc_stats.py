@@ -77,7 +77,10 @@ def split_rhat(chains):
     rhat_bulk = _rhat_of(_rank_normalize(x))
     folded = np.abs(x - np.median(x))
     rhat_tail = _rhat_of(_rank_normalize(folded))
-    return float(np.nanmax([rhat_bulk, rhat_tail]))
+    both = [v for v in (rhat_bulk, rhat_tail) if np.isfinite(v)]
+    # all-NaN (e.g. S < 2 smoke runs): undefined, without the numpy
+    # "All-NaN axis" RuntimeWarning polluting driver dryrun output
+    return float(max(both)) if both else float("nan")
 
 
 def _ess_of(z):
@@ -144,7 +147,8 @@ def ess_tail(chains):
     for q in (0.05, 0.95):
         ind = (x <= np.quantile(x, q)).astype(np.float64)
         out.append(_ess_of(ind))
-    return float(np.nanmin(out))
+    finite = [v for v in out if np.isfinite(v)]
+    return float(min(finite)) if finite else float("nan")
 
 
 def summarize_chains(chains):

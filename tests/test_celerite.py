@@ -227,3 +227,20 @@ def test_exp_neg_accuracy_and_f64_passthrough():
     uf64 = jnp.asarray(u64, jnp.float64)
     np.testing.assert_array_equal(np.asarray(exp_neg(uf64)),
                                   np.asarray(jnp.exp(-uf64)))
+
+
+def test_exp_neg_extreme_arguments_no_nan():
+    """ADVICE r4: for u ~ 1e13 the unclamped range reduction cancels
+    catastrophically (polynomial -> inf while exp2(-k) -> 0, 0*inf=NaN);
+    the clamp at 104 (exp(-104) underflows f32 anyway) must return
+    exactly 0 like jnp.exp(-u), including through gradients."""
+    from pioran_tpu.ops.celerite import exp_neg
+
+    u = jnp.asarray([50.0, 104.0, 200.0, 1e6, 1e13, 3.4e38], jnp.float32)
+    out = np.asarray(exp_neg(u))
+    assert np.all(np.isfinite(out))
+    assert np.all(out >= 0.0)
+    np.testing.assert_array_equal(out[2:], 0.0)
+    # gradient stays finite (0 in the underflowed region)
+    g = np.asarray(jax.grad(lambda x: jnp.sum(exp_neg(x)))(u))
+    assert np.all(np.isfinite(g))

@@ -120,3 +120,10 @@ def test_run_inference_many_smoke():
         assert np.all(np.isfinite(m))
         xbar = float(np.mean(np.log(d[1])))
         assert abs(m[5] - xbar) < 2.0  # mu in the dataset's own units
+        # per-dataset convergence/evidence reporting (VERDICT r4 #5):
+        # each series exposes its own rhat/ess/ncall, so a 64-series
+        # batch cannot hide an unconverged fit
+        assert len(r["rhat"]) == 6 and len(r["ess_bulk"]) == 6
+        assert r["ncall"] > 0
+        assert "converged" in r and "ess_per_s" in r
+        assert np.all(np.asarray(r["rhat"], np.float64) > 0.9)

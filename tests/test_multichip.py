@@ -4,6 +4,8 @@ What the reference never tests (SURVEY §4: 'Multi-node behavior is not
 tested at all'): sharded-sampler correctness and collective plumbing.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -384,3 +386,129 @@ def test_long_n_inference_end_to_end_seq_sharded():
     assert np.isfinite(res["logz"])
     assert np.all(np.isfinite(res["samples"]))
     assert np.all(np.asarray(res["samples"])[:, 3] > 0)  # variance > 0
+
+
+def test_seq_pipelined_gradient_matches_vmapped_scan():
+    """VERDICT r4 item 3: jax.grad THROUGH logl_seq_pipelined (the
+    fori_loop + ppermute + dynamic_slice pipeline) == vmapped
+    cel.logl grads. ChEES/MALA-SMC differentiate this path in
+    production whenever seq_mesh is set (samplers/chees.py runs
+    jax.vjp over the batch fn), so wrong cotangents here would
+    silently corrupt every gradient-based long-N fit."""
+    from pioran_tpu.ops import celerite as cel
+    from pioran_tpu.parallel.seq_scan import logl_seq_pipelined
+    from pioran_tpu.parallel import make_mesh
+
+    mesh = make_mesh("seq")
+    rng = np.random.default_rng(11)
+    B, J, N = 8, 3, 512
+    t = jnp.asarray(np.sort(rng.uniform(0, 120, N)))
+    a = jnp.asarray(np.abs(rng.normal(0.5, 0.2, (B, J))))
+    b = jnp.asarray(0.1 * np.abs(rng.normal(0.2, 0.1, (B, J))))
+    c = jnp.asarray(np.abs(rng.normal(0.5, 0.2, (B, J))))
+    d = jnp.asarray(np.abs(rng.normal(0.3, 0.1, (B, J))))
+    Y = jnp.asarray(rng.normal(0, 1, (B, N)))
+    S2 = jnp.asarray(0.1 + 0.02 * np.abs(rng.normal(size=(B, N))))
+
+    def tot_pipe(aa, cc, YY):
+        return jnp.sum(logl_seq_pipelined(aa, b, cc, d, t, YY, S2,
+                                          mesh=mesh, n_micro=4))
+
+    # per-chain b, d rows differ; vmap the full set for the oracle
+    def tot_ref_full(aa, cc, YY):
+        return jnp.sum(jax.vmap(
+            lambda a1, b1, c1, d1, y1, s1: cel.logl(a1, b1, c1, d1, t, y1, s1)
+        )(aa, b, cc, d, YY, S2))
+
+    g_pipe = jax.jit(jax.grad(tot_pipe, argnums=(0, 1, 2)))(a, c, Y)
+    g_ref = jax.grad(tot_ref_full, argnums=(0, 1, 2))(a, c, Y)
+    for gp, gr in zip(g_pipe, g_ref):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=1e-7, atol=1e-9)
+
+
+def test_seq_pipelined_dt_parameter_and_padding():
+    """VERDICT r4 item 2 + ADVICE high/medium: the pipelined batched
+    path accepts host-f64 spacings (dt=) and gives bit-identical values
+    to the vmapped scalar path WITH the same dt; the spec's batched
+    seq likelihood pads an indivisible batch (B=5 on an 8-device mesh)
+    instead of raising at the end of a long run."""
+    from pioran_tpu.ops import celerite as cel
+    from pioran_tpu.parallel.seq_scan import logl_seq_pipelined
+    from pioran_tpu.parallel import make_mesh
+    from pioran_tpu.inference import single_bending_model
+
+    mesh = make_mesh("seq")
+    rng = np.random.default_rng(12)
+    B, J, N = 8, 3, 512
+    t64 = np.sort(rng.uniform(0, 120, N))
+    dt64 = np.diff(t64)
+    t = jnp.asarray(t64)
+    a = jnp.asarray(np.abs(rng.normal(0.5, 0.2, (B, J))))
+    b = jnp.asarray(0.1 * np.abs(rng.normal(0.2, 0.1, (B, J))))
+    c = jnp.asarray(np.abs(rng.normal(0.5, 0.2, (B, J))))
+    d = jnp.asarray(np.abs(rng.normal(0.3, 0.1, (B, J))))
+    Y = jnp.asarray(rng.normal(0, 1, (B, N)))
+    S2 = jnp.asarray(0.1 + 0.02 * np.abs(rng.normal(size=(B, N))))
+
+    ll = jax.jit(lambda *ar: logl_seq_pipelined(
+        *ar, mesh=mesh, n_micro=4, dt=jnp.asarray(dt64)))(
+        a, b, c, d, t, Y, S2)
+    ref = jax.vmap(lambda a1, b1, c1, d1, y1, s1: cel.logl(
+        a1, b1, c1, d1, t, y1, s1, dt=jnp.asarray(dt64)))(a, b, c, d, Y, S2)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ref), rtol=1e-12)
+
+    # spec-level consistency: batched seq path (with dt) == scalar path
+    # (which always got dt64), and B=5 (not divisible by 8) works
+    A = np.loadtxt(os.path.join(os.path.dirname(__file__), "data",
+                                "simu.txt"))
+    reps = -(-512 // len(A))
+    tt = np.concatenate([A[:, 0] + i * (A[-1, 0] + 1.0) for i in range(reps)])[:512]
+    yy = np.tile(A[:, 1], reps)[:512]
+    ee = np.tile(A[:, 2], reps)[:512]
+    xbar = float(np.mean(np.log(yy)))
+    va = float(np.var(np.log(yy)))
+    spec = single_bending_model(tt, yy, ee, xbar, va, n_components=4,
+                                seq_mesh=mesh)
+    TH = jnp.asarray(np.stack([
+        [0.6, 2.5, 0.004, 0.02, 1.1, xbar],
+        [0.8, 3.0, 0.002, 0.05, 0.9, xbar + 0.1],
+        [0.4, 2.0, 0.008, 0.01, 1.3, xbar - 0.1],
+        [0.7, 2.2, 0.003, 0.03, 1.0, xbar],
+        [0.5, 2.8, 0.005, 0.04, 1.2, xbar],
+    ]))
+    ll_b = np.asarray(spec.loglike_batch(TH))  # B=5: exercises padding
+    ll_s = np.asarray(jax.vmap(spec.loglike)(TH))
+    assert ll_b.shape == (5,)
+    np.testing.assert_allclose(ll_b, ll_s, rtol=1e-10)
+
+
+def test_seq_mesh_on_carma_builder_long_n():
+    """VERDICT r4 item 4 'done' criterion: a non-flagship builder
+    (CARMA) runs a long series with the TIME axis sharded — scalar and
+    batched seq likelihoods match the unsharded oracle."""
+    from pioran_tpu.inference import carma_model
+    from pioran_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(3)
+    N = 4096
+    t = np.cumsum(0.5 + rng.exponential(0.5, N))
+    t -= t[0]
+    y = np.exp(0.2 * rng.normal(size=N) + 1.0)
+    yerr = 0.02 * y
+    xbar = float(np.mean(np.log(y)))
+    va = float(np.var(np.log(y)))
+
+    mesh = make_mesh("seq")
+    spec = carma_model(t, y, yerr, xbar, va, p=2, q=1, seq_mesh=mesh)
+    spec_plain = carma_model(t, y, yerr, xbar, va, p=2, q=1)
+    th = jnp.asarray(spec.prior.sample(jax.random.PRNGKey(0)))
+    ll_seq = float(spec.loglike(th))
+    ll_ref = float(spec_plain.loglike(th))
+    assert np.isfinite(ll_seq)
+    np.testing.assert_allclose(ll_seq, ll_ref, rtol=1e-12)
+
+    TH = jnp.stack([th, th * 1.01])
+    ll_b = np.asarray(spec.loglike_batch(TH))
+    ll_bref = np.asarray(jax.vmap(spec_plain.loglike)(TH))
+    np.testing.assert_allclose(ll_b, ll_bref, rtol=1e-10)

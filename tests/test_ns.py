@@ -176,3 +176,17 @@ def test_ns_insert_ranks_recorded_and_uniform(ns_result):
     mww = insertion_order_test(ranks, n_slots=512 - 64)
     assert mww["n_ranks"] == n_recorded
     assert mww["converged"], mww
+
+
+def test_z_crit_bisection_matches_scipy():
+    """ADVICE r4: the no-scipy critical-value fallback must track the
+    actual Bonferroni-corrected alpha (the old fixed 5.8 corresponded
+    to alpha ~ 1e-8 and made the rolling window test toothless)."""
+    from scipy.special import erfcinv
+
+    from pioran_tpu.utils.insertion import _z_crit_bisect
+
+    for alpha in (0.05, 0.01, 1e-3, 1e-4, 1e-6, 1e-8):
+        want = np.sqrt(2.0) * float(erfcinv(alpha))
+        got = _z_crit_bisect(alpha)
+        assert abs(got - want) < 1e-9, (alpha, got, want)

@@ -188,3 +188,94 @@ def test_chees_stepped_matches_scan_version():
                                atol=1e-10)
     np.testing.assert_allclose(
         np.asarray(st_scan["n_leapfrogs"]), st_step["n_leapfrogs"])
+
+
+def test_chees_dense_mass_correlated_gaussian():
+    """Dense (full-covariance) metric: on a strongly correlated Gaussian
+    the cross-chain covariance metric must recover mean AND covariance,
+    and mix dramatically better than unit metric would (the adaptation
+    rationale for the flagship model's alpha2/f1 ridge)."""
+    from pioran_tpu.samplers.chees import run_chees
+
+    # condition number ~ 250 with strong off-diagonal correlation
+    rho = 0.98
+    cov = jnp.array([[4.0, rho * 2.0 * 0.5, 0.0],
+                     [rho * 2.0 * 0.5, 0.25, 0.0],
+                     [0.0, 0.0, 1.0]])
+    prec = jnp.linalg.inv(cov)
+    logp = lambda z: -0.5 * z @ prec @ z
+    C = 128
+    z0 = jax.random.normal(jax.random.PRNGKey(1), (C, 3))
+    samples, stats = run_chees(
+        logp, z0, jax.random.PRNGKey(0), num_warmup=400, num_samples=400,
+        max_leapfrogs=64, mass="dense",
+    )
+    s = np.asarray(samples).reshape(-1, 3)
+    assert np.asarray(stats["n_leapfrogs"]).min() >= 1
+    np.testing.assert_allclose(s.mean(0), 0.0, atol=0.12)
+    np.testing.assert_allclose(np.cov(s.T), np.asarray(cov), atol=0.25)
+    # the learned metric diagonal tracks the target's marginal variances
+    np.testing.assert_allclose(np.asarray(stats["inv_mass"]),
+                               np.diag(np.asarray(cov)), rtol=0.6)
+
+
+def test_chees_dense_stepped_matches_scan():
+    """Host-stepped == fused-scan for the dense-metric kernel too."""
+    from pioran_tpu.samplers.chees import run_chees, run_chees_stepped
+
+    cov = jnp.array([[1.5, 0.7], [0.7, 1.0]])
+    prec = jnp.linalg.inv(cov)
+    logp = lambda z: -0.5 * z @ prec @ z
+    z0 = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+    key = jax.random.PRNGKey(1)
+    s_scan, _ = run_chees(logp, z0, key, num_warmup=60, num_samples=40,
+                          mass="dense")
+    s_step, _ = run_chees_stepped(logp, z0, key, num_warmup=60,
+                                  num_samples=40, mass="dense")
+    np.testing.assert_allclose(np.asarray(s_scan), s_step, rtol=1e-8,
+                               atol=1e-10)
+
+
+def test_advi_seeded_inits_flagship():
+    """advi_seeded_inits returns finite, posterior-concentrated,
+    overdispersed chain inits on the flagship model (the principled
+    replacement for the bench's old best-of-8192 prior-draw crutch)."""
+    import os
+
+    from pioran_tpu.inference import advi_seeded_inits, single_bending_model
+
+    A = np.loadtxt(os.path.join(os.path.dirname(__file__), "data",
+                                "simu.txt"))
+    xbar = float(np.mean(np.log(A[:, 1])))
+    va = float(np.var(np.log(A[:, 1])))
+    spec = single_bending_model(A[:, 0], A[:, 1], A[:, 2], xbar, va,
+                                n_components=10)
+    C = 32
+    z0 = np.asarray(advi_seeded_inits(
+        spec, jax.random.PRNGKey(0), C, num_steps=400))
+    assert z0.shape == (C, spec.prior.dim)
+    assert np.all(np.isfinite(z0))
+    # every seeded chain must start with a usable gradient: logpost
+    # finite and far above the stranded-plateau values raw prior draws
+    # land on (logl there ~ hundreds of nats below the posterior bulk)
+    lp = np.asarray(jax.vmap(spec.logpost_unconstrained)(jnp.asarray(z0)))
+    assert np.all(np.isfinite(lp))
+    ml = 1533.8  # reference posterior-mean logl on this dataset (f64)
+    assert np.all(lp > ml - 300.0), lp.min()
+
+
+def test_chees_stepped_block_matches_scan():
+    """block>1 host-stepping (several transitions per jitted program,
+    the tunnel-safe throughput mode) is the same markov chain."""
+    from pioran_tpu.samplers.chees import run_chees, run_chees_stepped
+
+    logp = lambda z: -0.5 * jnp.sum(z**2)
+    z0 = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+    key = jax.random.PRNGKey(1)
+    s_scan, st_scan = run_chees(logp, z0, key, num_warmup=60, num_samples=43)
+    s_blk, st_blk = run_chees_stepped(
+        logp, z0, key, num_warmup=60, num_samples=43, block=7)
+    np.testing.assert_allclose(np.asarray(s_scan), s_blk, rtol=1e-8,
+                               atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(st_scan["n_leapfrogs"]), st_blk["n_leapfrogs"])

@@ -241,3 +241,32 @@ def test_longn_f32_parity(summary):
     spec = single_bending_model(A[:, 0], A[:, 1], A[:, 2], xbar, va)
     ll = float(jax.jit(spec.loglike)(jnp.asarray(entry["ml_point"])))
     assert abs(ll - entry["ml_logl"]) < 1.0, (ll, entry["ml_logl"])
+
+
+def test_chees_gradient_path_parity(summary):
+    """The gradient-path flagship proof (VERDICT r4 #1): a committed
+    on-TPU ChEES-HMC run on simu_single from DISPERSED (overdispersed-
+    ADVI) inits must pass the same referee pull/width gates as the
+    NS/SMC runs AND converge (rank-normalized split-rhat <= 1.02 across
+    all parameters) — end-to-end evidence for the hand-adjoint kernel
+    stack (ops/pallas_celerite_vjp.py)."""
+    runs = {k: v for k, v in summary["runs"].items()
+            if v["sampler"] in ("chees", "nuts")}
+    if not runs:
+        pytest.skip("no committed gradient-sampler parity run "
+                    "(run examples/tpu_parity.py --samplers chees)")
+    # at least the flagship dataset must be covered
+    assert any(v["dataset"] == "single" for v in runs.values()), (
+        list(runs))
+    for tag, entry in runs.items():
+        assert entry["pass"], (tag, entry)
+        assert entry["rhat_max"] <= 1.02, (tag, entry["rhat_max"])
+        assert entry["init"] == "advi-dispersed", tag
+        assert entry["max_pull"] < entry.get(
+            "pull_tol_effective", entry["pull_tol"]), (tag, entry)
+        if "width_ratio_referee" in entry:
+            wrr = np.asarray(entry["width_ratio_referee"])
+            w_lo, w_hi = entry.get("width_gate_referee", (0.75, 1.33))
+            assert np.all((wrr > w_lo) & (wrr < w_hi)), (tag, wrr)
+            assert entry["max_pull_referee"] < 0.5, (
+                tag, entry["max_pull_referee"])
