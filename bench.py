@@ -100,14 +100,23 @@ def main():
     evals_per_s = batch / dt
 
     # --- CPU f64 single-chain baseline proxy (reference-style per-call cost) ---
+    # PINNED constant: median of 7 timing repeats measured on this
+    # machine (2026-08-21, 335.1 evals/s; spread 300-353 across repeats
+    # purely from host load). Rounds 2-4 re-measured this denominator
+    # live and `vs_baseline` drifted 30% (1330 -> 1046 -> 942) while the
+    # TPU numerator moved < 2% — pinning makes round deltas mean
+    # something (VERDICT r4 weak #8). The live measurement is still
+    # taken and reported alongside for drift monitoring.
+    PINNED_BASELINE_EVALS_PER_S = 335.1
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         jax.config.update("jax_enable_x64", True)
         loglike64, _, p64 = _build("f64")
         fn1 = jax.jit(loglike64)
-        dt1 = _time(fn1, (p64,), iters=20)
+        dt1 = min(_time(fn1, (p64,), iters=20) for _ in range(3))
         jax.config.update("jax_enable_x64", False)
-    baseline_evals_per_s = 1.0 / dt1
+    baseline_live = 1.0 / dt1
+    baseline_evals_per_s = PINNED_BASELINE_EVALS_PER_S
 
     # --- ESS/s on a flagship nested-sampling run (BASELINE.md north
     # star; ultranest-comparable: the reference reports ess=2730 for
@@ -161,22 +170,27 @@ def main():
 
         # 512 chains fill the Pallas lane blocks (4 x 128) and give the
         # rank-normalized diagnostics real cross-chain power. Chains
-        # start from the best of 8192 prior draws (one batched
-        # likelihood sweep): raw prior inits leave a fraction of chains
-        # stranded on the f1 degeneracy's flat tails and rhat ~ 1.6
-        # even after 500 warmup steps.
+        # start DISPERSED from a x2-overdispersed mean-field ADVI fit
+        # (inference.advi_seeded_inits — the classical Gelman-Rubin
+        # prescription; raw prior draws strand chains on the f1
+        # degeneracy's zero-gradient plateaus) and run with the DENSE
+        # cross-chain covariance metric (mass="dense"), which
+        # preconditions the alpha2/f1 ridge a diagonal metric cannot.
+        # ADVI time is charged to the ESS/s denominator.
+        from pioran_tpu.inference import advi_seeded_inits
+
+        # 500 warmup + 2400 draws, 25 transitions per jitted program:
+        # measured on-chip (r5 tuning) 90.9 ESS/s at rhat_max 1.0127
+        # (ESS 30.8k, ~8.1k shared leapfrog steps, ~340 s wall).
         C = 512
-        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
-        z_cand = jax.vmap(prior.to_unconstrained)(
-            jax.vmap(prior.sample)(jax.random.split(k1, 8192)))
-        lp_cand = logpost_batch(z_cand)
-        top = jnp.argsort(lp_cand)[-C:]
-        z0 = z_cand[top]
+        k1, k2 = jax.random.split(jax.random.PRNGKey(2))
         t0 = time.perf_counter()
+        z0 = advi_seeded_inits(spec, k1, C)
+        jax.block_until_ready(z0)
         samples_z, st = run_chees_stepped(
             prior.unconstrained_logpdf, z0, k2,
-            num_warmup=500, num_samples=300, max_leapfrogs=128,
-            logp_batch_fn=logpost_batch,
+            num_warmup=500, num_samples=2400, max_leapfrogs=128,
+            logp_batch_fn=logpost_batch, mass="dense", block=25,
         )
         chees_elapsed = time.perf_counter() - t0
         # (S, C, dim) -> (C, S, dim) theta-space convergence stats
@@ -197,6 +211,8 @@ def main():
         "value": round(evals_per_s, 1),
         "unit": f"evals/s (N=489, J=20, batch={batch}, f32)",
         "vs_baseline": round(evals_per_s / baseline_evals_per_s, 2),
+        "baseline_pinned_evals_per_s": PINNED_BASELINE_EVALS_PER_S,
+        "baseline_live_evals_per_s": round(baseline_live, 1),
         **extra,
     }))
 

@@ -204,6 +204,28 @@ def main():
                                      t, Y[:Bg], S2[:Bg])
                         cell["pallas_grad_batch"] = Bg
                         cell["pallas_grad_evals_per_s"] = round(Bg / dtg, 1)
+                    else:
+                        # beyond the segmented adjoint's HBM envelope:
+                        # production (ops/pallas_celerite.py _fwd)
+                        # dispatches gradients to the checkpointed-scan
+                        # VJP — measure THAT, so no grid cell is blank
+                        # (reference grads run at every N,
+                        # benchmark/benchmarks.jl:16-18 + ForwardDiff)
+                        for Bg in (64, 32, 16, 8):
+                            try:
+                                gsf = jax.jit(jax.grad(
+                                    lambda A_, Y_, S2_: jnp.sum(jax.vmap(
+                                        lambda aa, yy, ss: logl(
+                                            aa, b, c, d, t, yy, ss, dt=dtv)
+                                    )(A_, Y_, S2_))))
+                                dtg = timeit(gsf, A[:Bg], Y[:Bg], S2[:Bg])
+                                cell["pallas_grad_batch"] = Bg
+                                cell["pallas_grad_evals_per_s"] = round(
+                                    Bg / dtg, 1)
+                                cell["grad_backend"] = "scan-vjp"
+                                break
+                            except Exception:  # noqa: BLE001 - OOM: shrink
+                                continue
                 except Exception as e:  # noqa: BLE001
                     cell["pallas_grad_evals_per_s"] = f"{type(e).__name__}"
             rows.append(cell)
