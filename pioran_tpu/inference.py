@@ -910,9 +910,18 @@ def run_inference(
     # final per-sample likelihoods: prefer the batched path — vmapping
     # the scalar scan materializes (S, N, R)-shaped buffers whose tiny
     # trailing dims TPU layouts pad to (8, 128) tiles, a up-to-64x
-    # memory blowup (observed 21 GB for 4000 CARMA samples at R=2)
+    # memory blowup (observed 21 GB for 4000 CARMA samples at R=2).
+    # Chunked: a long ChEES run delivers millions of draws (C x S), and
+    # one monolithic sweep OOMs at the very end of a 25-minute run.
     if spec.loglike_batch is not None:
-        loglikes = np.asarray(spec.loglike_batch(jnp.asarray(theta)))
+        TH_all = jnp.asarray(theta)
+        chunk = 65536
+        if TH_all.shape[0] <= chunk:
+            loglikes = np.asarray(spec.loglike_batch(TH_all))
+        else:
+            loglikes = np.concatenate([
+                np.asarray(spec.loglike_batch(TH_all[i:i + chunk]))
+                for i in range(0, TH_all.shape[0], chunk)])
     else:
         loglikes = np.asarray(
             jax.vmap(jax.jit(spec.loglike))(jnp.asarray(theta)))
@@ -945,9 +954,17 @@ def run_inference(
     if log_dir:
         os.makedirs(os.path.join(log_dir, "chains"), exist_ok=True)
         os.makedirs(os.path.join(log_dir, "info"), exist_ok=True)
+        # cap the written posterior: long MCMC ensembles deliver millions
+        # of draws; 20k equal-weighted rows is plenty for any downstream
+        # use and keeps committed artifacts at single-digit MB
+        theta_out = theta
+        if theta.shape[0] > 20000:
+            sel = np.random.default_rng(0).choice(
+                theta.shape[0], 20000, replace=False)
+            theta_out = theta[np.sort(sel)]
         with open(os.path.join(log_dir, "chains", "equal_weighted_post.txt"), "w") as fh:
             fh.write(" ".join(spec.names) + "\n")
-            np.savetxt(fh, theta)
+            np.savetxt(fh, theta_out)
         with open(os.path.join(log_dir, "info", "results.json"), "w") as fh:
             json.dump(results, fh, indent=2, ensure_ascii=False)
     results["samples"] = theta
