@@ -521,6 +521,11 @@ def carma_model(
     return spec
 
 
+# final per-sample likelihood sweeps process at most this many samples
+# per loglike_batch call (million-draw MCMC posteriors OOM otherwise)
+_FINAL_LOGLIKE_CHUNK = 65536
+
+
 def advi_seeded_inits(
     spec: GPModelSpec,
     key,
@@ -915,7 +920,7 @@ def run_inference(
     # one monolithic sweep OOMs at the very end of a 25-minute run.
     if spec.loglike_batch is not None:
         TH_all = jnp.asarray(theta)
-        chunk = 65536
+        chunk = _FINAL_LOGLIKE_CHUNK
         if TH_all.shape[0] <= chunk:
             loglikes = np.asarray(spec.loglike_batch(TH_all))
         else:

@@ -127,3 +127,27 @@ def test_run_inference_many_smoke():
         assert r["ncall"] > 0
         assert "converged" in r and "ess_per_s" in r
         assert np.all(np.asarray(r["rhat"], np.float64) > 0.9)
+
+
+def test_final_loglike_sweep_chunked(monkeypatch):
+    """The results-stage per-sample likelihood sweep is chunked (a
+    million-draw ChEES posterior OOM'd the chip at the very END of a
+    25-minute run before): with a tiny chunk size the reported ML
+    point/logl must match the unchunked computation exactly."""
+    import pioran_tpu.inference as inf
+
+    A = np.loadtxt(os.path.join(os.path.dirname(__file__), "data",
+                                "simu.txt"))
+    xbar = float(np.mean(np.log(A[:, 1])))
+    va = float(np.var(np.log(A[:, 1])))
+    spec = inf.single_bending_model(A[:200, 0], A[:200, 1], A[:200, 2],
+                                    xbar, va, n_components=6)
+    kwargs = dict(sampler="chees", key=jax.random.PRNGKey(0),
+                  num_chains=8, num_warmup=20, num_samples=30)
+    res_big = inf.run_inference(spec, **kwargs)
+    monkeypatch.setattr(inf, "_FINAL_LOGLIKE_CHUNK", 37)  # forces 7 chunks
+    res_small = inf.run_inference(spec, **kwargs)
+    assert res_big["maximum_likelihood"]["logl"] == pytest.approx(
+        res_small["maximum_likelihood"]["logl"], abs=1e-9)
+    np.testing.assert_allclose(res_big["maximum_likelihood"]["point"],
+                               res_small["maximum_likelihood"]["point"])
