@@ -26,6 +26,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("data")
     ap.add_argument("--sampler", default="ns", choices=["ns", "smc", "nuts", "chees", "advi"])
+    ap.add_argument("--init", default="prior", choices=["prior", "advi"],
+                    help="chain inits for nuts/chees: raw prior draws, "
+                    "or dispersed ADVI-seeded (advi_seeded_inits)")
+    ap.add_argument("--mass", default="diag", choices=["diag", "dense"],
+                    help="ChEES metric: diagonal, or full cross-chain "
+                    "covariance (preconditions correlated ridges)")
+    ap.add_argument("--hmc-stepped", action="store_true",
+                    help="host-stepped ChEES (25 transitions per jitted "
+                    "program) for RPC layers that kill long programs")
     ap.add_argument("--particles", type=int, default=2048)
     ap.add_argument("--chains", type=int, default=16)
     ap.add_argument("--warmup", type=int, default=500)
@@ -119,6 +128,7 @@ def main():
         num_warmup=args.warmup, num_samples=args.samples,
         num_moves=args.moves, smc_move=args.move_kind,
         log_dir=out, resume=args.resume,
+        init=args.init, mass=args.mass, hmc_stepped=args.hmc_stepped,
     )
     names = results["paramnames"]
     mean = results["posterior"]["mean"]
