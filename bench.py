@@ -202,7 +202,10 @@ def main():
         extra["ess_chees"] = round(ess_min, 1)
         extra["rhat_max_chees"] = round(float(np.nanmax(
             np.asarray(conv["rhat"], np.float64))), 4)
-        extra["chees_leapfrogs"] = int(np.sum(st["n_leapfrogs"])) * C
+        # shared leapfrog STEPS vs total gradient EVALS (steps x chains):
+        # two keys so nobody divides by the wrong one
+        extra["chees_leapfrog_steps"] = int(np.sum(st["n_leapfrogs"]))
+        extra["chees_grad_evals"] = extra["chees_leapfrog_steps"] * C
     except Exception as e:  # noqa: BLE001
         extra["ess_per_s_chees_error"] = type(e).__name__
 

@@ -211,6 +211,7 @@ def main():
                         # VJP — measure THAT, so no grid cell is blank
                         # (reference grads run at every N,
                         # benchmark/benchmarks.jl:16-18 + ForwardDiff)
+                        last_err = None
                         for Bg in (64, 32, 16, 8):
                             try:
                                 gsf = jax.jit(jax.grad(
@@ -224,8 +225,13 @@ def main():
                                     Bg / dtg, 1)
                                 cell["grad_backend"] = "scan-vjp"
                                 break
-                            except Exception:  # noqa: BLE001 - OOM: shrink
-                                continue
+                            except Exception as e:  # noqa: BLE001 - OOM: shrink
+                                last_err = e
+                        else:
+                            # never leave the cell silently blank: record
+                            # what failed at the smallest batch
+                            cell["pallas_grad_evals_per_s"] = (
+                                f"{type(last_err).__name__}")
                 except Exception as e:  # noqa: BLE001
                     cell["pallas_grad_evals_per_s"] = f"{type(e).__name__}"
             rows.append(cell)

@@ -299,12 +299,14 @@ def main():
             if sampler in ("chees", "nuts"):
                 # the gradient-path parity leg (VERDICT r4 #1): DISPERSED
                 # inits from an overdispersed ADVI fit (no warm-start
-                # crutch), dense cross-chain metric, host-stepped for the
-                # tunnel; gates add rhat_max <= 1.02 on top of the same
-                # referee pull/width gates as NS/SMC
+                # crutch); ChEES additionally gets the dense cross-chain
+                # metric and host-stepping (both ChEES-only knobs —
+                # run_inference's NUTS branch has neither). Gates add
+                # rhat_max <= 1.02 on top of the referee pull/width gates.
                 kw = dict(num_chains=args.chains, num_warmup=args.warmup,
-                          num_samples=args.nsamples, init="advi",
-                          mass="dense", hmc_stepped=True)
+                          num_samples=args.nsamples, init="advi")
+                if sampler == "chees":
+                    kw.update(mass="dense", hmc_stepped=True)
             else:
                 kw = dict(num_particles=args.particles,
                           num_moves=args.moves, num_ns_mcmc=args.ns_mcmc,
@@ -352,7 +354,8 @@ def main():
                 entry["ess_tail"] = res["ess_tail"]
                 entry["ess_per_s"] = res.get("ess_per_s")
                 entry["init"] = "advi-dispersed"
-                entry["mass"] = "dense"
+                if sampler == "chees":
+                    entry["mass"] = kw["mass"]
                 entry["num_chains"] = args.chains
             referee = load_referee(name)
             if referee is not None:

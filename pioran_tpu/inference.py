@@ -551,7 +551,14 @@ def advi_seeded_inits(
     from .samplers.advi import run_advi
 
     k1, k2, k3 = jax.random.split(key, 3)
-    z_init = spec.prior.to_unconstrained(spec.prior.sample(k1))
+    # initialize the ADVI *optimizer* at the best of a few hundred prior
+    # draws (one cheap batched sweep): a single raw draw could itself
+    # land on the zero-gradient plateau this function exists to escape,
+    # stranding the whole ELBO optimization there
+    zc = jax.vmap(spec.prior.to_unconstrained)(
+        jax.vmap(spec.prior.sample)(jax.random.split(k1, 256)))
+    lp = jax.vmap(spec.logpost_unconstrained)(zc)
+    z_init = zc[jnp.argmax(jnp.where(jnp.isfinite(lp), lp, -jnp.inf))]
     res = jax.jit(
         lambda z, k: run_advi(
             spec.logpost_unconstrained, z, k,
@@ -825,6 +832,11 @@ def run_inference(
                     return lp + spec.loglike_batch(
                         jax.vmap(prior.from_unconstrained)(Z)
                     )
+            if mesh is not None and hmc_stepped:
+                raise NotImplementedError(
+                    "hmc_stepped is not supported together with mesh= "
+                    "(the sharded ChEES path runs one fused program); "
+                    "drop one of the two")
             if mesh is not None:
                 from .parallel.sharded import (
                     run_chees_sharded, sharded_batched_fn)
