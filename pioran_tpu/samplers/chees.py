@@ -151,7 +151,8 @@ def make_chees_transition(
         return z, r, logp, grad
 
     def transition(carry, inp):
-        (z, logp, grad, step_size, log_tau, adam, da, chol, cov_ema, key) = carry
+        (z, logp, grad, step_size, log_tau, adam, da, chol, cov_ema, key,
+         lt_avg) = carry
         it, is_warmup = inp
         key, k_mom, k_acc = jax.random.split(key, 3)
 
@@ -245,10 +246,21 @@ def make_chees_transition(
             jnp.where(it == num_warmup - 1, jnp.exp(ls_avg), jnp.exp(ls)),
             step_size,
         )
-        log_tau = jnp.where(is_warmup, log_tau_new, log_tau)
+        # trajectory length gets the SAME treatment as the step size:
+        # Adam's last iterate is a noisy draw around the ChEES optimum
+        # (measured: tau varying ~1.5x between identical-config runs,
+        # i.e. up to ~2x ESS/s swing); freeze at an EMA (~50-iteration
+        # window) of the warmup trajectory instead of the final iterate
+        lt_avg = jnp.where(is_warmup, 0.98 * lt_avg + 0.02 * log_tau_new,
+                           lt_avg)
+        log_tau = jnp.where(
+            is_warmup,
+            jnp.where(it == num_warmup - 1, lt_avg, log_tau_new),
+            log_tau,
+        )
 
         carry = (z_next, logp_next, grad_next, step_size_new, log_tau, adam,
-                 da, chol, cov_ema, key)
+                 da, chol, cov_ema, key, lt_avg)
         out = (z_next, logp_next, mean_accept, n_steps)
         return carry, out
 
@@ -261,10 +273,11 @@ def make_chees_transition(
                            jnp.zeros((), jnp.int32))
         chol0 = jnp.eye(dim, dtype=dtype) if dense else jnp.ones((dim,), dtype)
         cov0 = jnp.eye(dim, dtype=dtype) if dense else jnp.ones((dim,), dtype)
+        lt0 = jnp.log(jnp.asarray(initial_traj_length, dtype))
         return (
             z0, logp0, grad0, jnp.asarray(initial_step_size, dtype),
-            jnp.log(jnp.asarray(initial_traj_length, dtype)), adam0, da0,
-            chol0, cov0, key,
+            lt0, adam0, da0,
+            chol0, cov0, key, lt0,
         )
 
     return transition, init
