@@ -304,9 +304,10 @@ def main():
                 # run_inference's NUTS branch has neither). Gates add
                 # rhat_max <= 1.02 on top of the referee pull/width gates.
                 kw = dict(num_chains=args.chains, num_warmup=args.warmup,
-                          num_samples=args.nsamples, init="advi")
+                          num_samples=args.nsamples, init="advi",
+                          hmc_stepped=True)
                 if sampler == "chees":
-                    kw.update(mass="dense", hmc_stepped=True)
+                    kw.update(mass="dense")
             else:
                 kw = dict(num_particles=args.particles,
                           num_moves=args.moves, num_ns_mcmc=args.ns_mcmc,

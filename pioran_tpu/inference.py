@@ -616,8 +616,9 @@ def run_inference(
     (:func:`advi_seeded_inits`) — use on posteriors whose prior mass
     sits mostly in zero-gradient plateaus. ``mass``: "diag" or "dense"
     ChEES metric (full cross-chain covariance; samplers/chees.py).
-    ``hmc_stepped``: run ChEES one jitted transition per HOST iteration
-    (samplers/chees.py run_chees_stepped) — same chain, but no single
+    ``hmc_stepped``: run ChEES/NUTS a short block of jitted transitions
+    per HOST iteration (samplers/chees.py run_chees_stepped,
+    samplers/nuts.py run_nuts_stepped) — same chain, but no single
     XLA program outlives an RPC layer that kills multi-minute device
     executions (the tunneled-TPU environments the resumable NS/SMC
     drivers already serve).
@@ -790,6 +791,11 @@ def run_inference(
                     jax.vmap(prior.sample)(
                         jax.random.split(keys[0], num_chains))
                 )
+            if mesh is not None and hmc_stepped:
+                raise NotImplementedError(
+                    "hmc_stepped is not supported together with mesh= "
+                    "(the sharded NUTS path runs one fused program); "
+                    "drop one of the two")
             if mesh is not None:
                 from .parallel.sharded import run_nuts_sharded
 
@@ -798,6 +804,17 @@ def run_inference(
                     axis_name=axis,
                     num_warmup=num_warmup, num_samples=num_samples,
                 )
+            elif hmc_stepped:
+                from .samplers.nuts import run_nuts_stepped
+
+                # one short jitted program per `block` transitions (the
+                # tunneled-TPU shape; see run_chees_stepped above)
+                samples_s, stats = run_nuts_stepped(
+                    spec.logpost_unconstrained, z0, keys[1:],
+                    num_warmup=num_warmup, num_samples=num_samples,
+                )
+                # (S, C, dim) -> (C, S, dim) to match the vmapped layout
+                samples_z = jnp.asarray(samples_s).transpose(1, 0, 2)
             else:
                 samples_z, stats = jax.vmap(
                     lambda z, k: run_nuts(
@@ -808,12 +825,18 @@ def run_inference(
             # (C, S, dim): per-chain draws for rhat/ess
             chains_z = np.asarray(samples_z)
             samples_z = samples_z.reshape(-1, samples_z.shape[-1])
-            # a depth-d NUTS tree costs 2^d - 1 new leapfrogs, each one
-            # gradient evaluation (warmup + sampling both count)
-            ncall = int(
-                (2 ** np.asarray(stats["depth"], np.int64) - 1).sum()
-                + (2 ** np.asarray(stats["warmup_depth"], np.int64) - 1).sum()
-            )
+            if hmc_stepped:
+                # exact per-chain leapfrog (= gradient-eval) count
+                ncall = int(np.asarray(
+                    stats["num_leaves"], np.int64).sum())
+            else:
+                # a depth-d NUTS tree costs 2^d - 1 new leapfrogs, each
+                # one gradient evaluation (warmup + sampling both count)
+                ncall = int(
+                    (2 ** np.asarray(stats["depth"], np.int64) - 1).sum()
+                    + (2 ** np.asarray(
+                        stats["warmup_depth"], np.int64) - 1).sum()
+                )
         else:
             from .samplers.chees import run_chees
 

@@ -30,7 +30,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["NutsConfig", "run_nuts", "nuts_kernel", "warmup_schedule"]
+__all__ = [
+    "NutsConfig",
+    "run_nuts",
+    "run_nuts_stepped",
+    "make_nuts_transition",
+    "nuts_kernel",
+    "warmup_schedule",
+]
 
 
 class NutsConfig(NamedTuple):
@@ -430,3 +437,168 @@ def run_nuts(
         "warmup_depth": warm_depth,
     }
     return samples, stats
+
+
+# ---------------------------------------------------------------------------
+# Host-stepped driver (tunneled-TPU-safe, like chees.run_chees_stepped)
+# ---------------------------------------------------------------------------
+
+
+def make_nuts_transition(
+    logp_fn: Callable,
+    num_warmup: int,
+    target_accept: float = 0.8,
+    max_depth: int = 8,
+    initial_step_size: float = 0.1,
+):
+    """The batched NUTS transition as a pure ``(carry, (it, is_warmup))
+    -> (carry, out)`` function, plus its initializer.
+
+    Same warmup/sampling semantics as :func:`run_nuts` (Stan windowed
+    adaptation: per-chain dual-averaging step size + Welford diagonal
+    mass with slow-window refreshes; sampling at the frozen
+    dual-averaged step size) — but with the iteration index supplied
+    from outside, so the loop can live either in a ``lax.scan`` or on
+    the host (:func:`run_nuts_stepped`). All adaptation state is
+    per-chain, exactly as in ``jax.vmap(run_nuts)``.
+    """
+    # pad so a post-warmup `it` indexes harmlessly (gated by is_warmup)
+    update_pad = jnp.concatenate(
+        [jnp.asarray(warmup_schedule(num_warmup), bool),
+         jnp.zeros((1,), bool)]
+    )
+
+    def chain_step(z, logp, grad, sub, da, inv_mass, mean, m2, wcount,
+                   do_update, is_warmup):
+        # warmup steps at the current DA iterate; sampling at the
+        # frozen dual-averaged value (run_nuts:407)
+        step_size = jnp.where(
+            is_warmup, jnp.exp(da.log_step), jnp.exp(da.log_step_avg))
+        z, logp, grad, stats = nuts_kernel(
+            logp_fn, z, logp, grad, sub, step_size, inv_mass,
+            max_depth=max_depth,
+        )
+        # --- warmup-only adaptation (gated; mirrors run_nuts.warm_step)
+        da_new = _da_update(da, stats["accept_stat"], target_accept)
+        da = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(is_warmup, n, o), da_new, da)
+        wcount_new = wcount + 1
+        delta = z - mean
+        mean_new = mean + delta / wcount_new
+        m2_new = m2 + delta * (z - mean_new)
+        mean = jnp.where(is_warmup, mean_new, mean)
+        m2 = jnp.where(is_warmup, m2_new, m2)
+        wcount = jnp.where(is_warmup, wcount_new, wcount)
+
+        def refresh(args):
+            da, inv_mass, mean, m2, wcount = args
+            var = m2 / jnp.maximum(wcount - 1, 1)
+            var = (wcount / (wcount + 5.0)) * var \
+                + 1e-3 * (5.0 / (wcount + 5.0))
+            da_new = _da_init(jnp.exp(da.log_step))
+            zero = jnp.zeros_like(mean)
+            return da_new, var, zero, zero, jnp.zeros_like(wcount)
+
+        da, inv_mass, mean, m2, wcount = lax.cond(
+            do_update & is_warmup, refresh, lambda a: a,
+            (da, inv_mass, mean, m2, wcount),
+        )
+        return (z, logp, grad, da, inv_mass, mean, m2, wcount), stats
+
+    def transition(carry, inp):
+        it, is_warmup = inp
+        z, logp, grad, keys, da, inv_mass, mean, m2, wcount = carry
+        kk = jax.vmap(jax.random.split)(keys)  # (C, 2, 2)
+        keys, subs = kk[:, 0], kk[:, 1]
+        do_update = update_pad[jnp.minimum(it, num_warmup)]
+        (z, logp, grad, da, inv_mass, mean, m2, wcount), stats = jax.vmap(
+            chain_step,
+            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None, None),
+        )(z, logp, grad, subs, da, inv_mass, mean, m2, wcount,
+          do_update, is_warmup)
+        out = (z, logp, stats["accept_stat"], stats["diverging"],
+               stats["depth"], stats["num_leaves"])
+        return (z, logp, grad, keys, da, inv_mass, mean, m2, wcount), out
+
+    def init(z0, keys):
+        C, dim = z0.shape
+        dtype = z0.dtype
+        logp0, grad0 = jax.vmap(jax.value_and_grad(logp_fn))(z0)
+        eps0 = jnp.asarray(initial_step_size, dtype)
+        da0 = jax.vmap(lambda _: _da_init(eps0))(jnp.arange(C))
+        return (
+            z0, logp0, grad0, keys, da0, jnp.ones((C, dim), dtype),
+            jnp.zeros((C, dim), dtype), jnp.zeros((C, dim), dtype),
+            jnp.zeros((C,), dtype),
+        )
+
+    return transition, init
+
+
+def run_nuts_stepped(
+    logp_fn: Callable,
+    z0,
+    key,
+    num_warmup: int = 500,
+    num_samples: int = 1000,
+    initial_step_size: float = 0.1,
+    max_depth: int = 8,
+    target_accept: float = 0.8,
+    thin: int = 1,
+    block: int = 10,
+):
+    """``jax.vmap(run_nuts)``, but ``block`` transitions per HOST call.
+
+    Same kernel, same per-chain windowed adaptation, same statistics —
+    only the iteration loop moves to the host, so no single XLA program
+    runs longer than ``block`` transitions. Use on environments whose
+    RPC layer kills multi-minute device executions (the tunneled-TPU
+    axon backend), exactly like ``chees.run_chees_stepped``. The
+    reference's NUTS workflow this mirrors: AdvancedHMC NUTS(0.8),
+    500 adapt + 1000 draws (reference
+    examples/turing_distributed/single_pl.jl:73-81).
+
+    ``z0``: (C, dim) chain starts. ``key``: either a single PRNG key
+    (split into per-chain keys) or a (C, 2) array of per-chain keys.
+    Returns ``(samples [S, C, dim] numpy, stats)`` with per-iteration
+    ``depth``/``num_leaves``/``diverging`` of shape (total, C) —
+    ``num_leaves`` is the exact per-chain leapfrog (= gradient) count.
+    """
+    import numpy as np
+
+    C, dim = z0.shape
+    keys = jax.random.split(key, C) if key.ndim == 1 else key
+    transition, init = make_nuts_transition(
+        logp_fn, num_warmup, target_accept, max_depth, initial_step_size)
+
+    @jax.jit
+    def trans_block(carry, its):
+        return lax.scan(transition, carry, (its, its < num_warmup))
+
+    carry = init(z0, keys)
+    total = num_warmup + num_samples
+    samples, logps = [], []
+    accepts, divs, depths, leaves = [], [], [], []
+    for start in range(0, total, block):
+        its = jnp.arange(start, min(start + block, total))
+        carry, out = trans_block(carry, its)
+        z_blk, logp_blk, acc_blk, div_blk, depth_blk, leaf_blk = out
+        accepts.append(np.asarray(acc_blk))
+        divs.append(np.asarray(div_blk))
+        depths.append(np.asarray(depth_blk))
+        leaves.append(np.asarray(leaf_blk))
+        for j, it in enumerate(range(start, min(start + block, total))):
+            if it >= num_warmup and (it - num_warmup) % thin == 0:
+                samples.append(np.asarray(z_blk[j]))
+                logps.append(np.asarray(logp_blk[j]))
+    da, inv_mass = carry[4], carry[5]
+    stats = {
+        "logp": np.asarray(logps),
+        "accept_stat": np.concatenate(accepts),
+        "diverging": np.concatenate(divs),
+        "depth": np.concatenate(depths),
+        "num_leaves": np.concatenate(leaves),
+        "step_size": np.asarray(jnp.exp(da.log_step_avg)),
+        "inv_mass": np.asarray(inv_mass),
+    }
+    return np.stack(samples), stats

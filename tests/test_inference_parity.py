@@ -151,3 +151,23 @@ def test_final_loglike_sweep_chunked(monkeypatch):
         res_small["maximum_likelihood"]["logl"], abs=1e-9)
     np.testing.assert_allclose(res_big["maximum_likelihood"]["point"],
                                res_small["maximum_likelihood"]["point"])
+
+
+def test_run_inference_nuts_stepped_smoke(subset):
+    """run_inference(sampler="nuts", hmc_stepped=True) — the tunneled-TPU
+    NUTS driver (samplers/nuts.py run_nuts_stepped) — returns the full
+    results contract on the flagship model: finite draws, rhat/ess
+    diagnostics, and an exact leapfrog-count ncall."""
+    from pioran_tpu.inference import run_inference, single_bending_model
+
+    t, y, yerr, xbar, va = subset
+    spec = single_bending_model(t, y, yerr, xbar, va)
+    res = run_inference(
+        spec, sampler="nuts", hmc_stepped=True, key=jax.random.PRNGKey(3),
+        num_chains=4, num_warmup=30, num_samples=20,
+    )
+    post = np.asarray(res["samples"])
+    assert post.shape == (4 * 20, 6)
+    assert np.all(np.isfinite(post))
+    assert res["ncall"] > 0
+    assert len(res["rhat"]) == 6

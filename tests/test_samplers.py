@@ -279,3 +279,32 @@ def test_chees_stepped_block_matches_scan():
                                atol=1e-10)
     np.testing.assert_allclose(
         np.asarray(st_scan["n_leapfrogs"]), st_blk["n_leapfrogs"])
+
+
+def test_nuts_stepped_matches_vmapped_monolithic():
+    """Host-stepped NUTS (run_nuts_stepped: short jitted blocks from a
+    host loop) produces the same draws as jax.vmap(run_nuts) given the
+    same per-chain keys — same kernel, same per-chain windowed
+    adaptation (samplers/nuts.py make_nuts_transition)."""
+    from pioran_tpu.samplers.nuts import run_nuts, run_nuts_stepped
+
+    cov = jnp.array([[1.5, 0.7], [0.7, 1.0]])
+    prec = jnp.linalg.inv(cov)
+    logp = lambda z: -0.5 * z @ prec @ z
+    C = 4
+    z0 = jax.random.normal(jax.random.PRNGKey(0), (C, 2))
+    keys = jax.random.split(jax.random.PRNGKey(1), C)
+    s_mono, st_mono = jax.vmap(
+        lambda z, k: run_nuts(logp, z, k, num_warmup=60, num_samples=40)
+    )(z0, keys)  # (C, S, dim)
+    # block=7 does not divide 100: exercises the ragged final block
+    s_step, st_step = run_nuts_stepped(
+        logp, z0, keys, num_warmup=60, num_samples=40, block=7)
+    np.testing.assert_allclose(
+        np.asarray(s_mono), s_step.transpose(1, 0, 2),
+        rtol=1e-8, atol=1e-10)
+    # identical trees: per-transition depths agree in the sampling phase
+    np.testing.assert_array_equal(
+        np.asarray(st_mono["depth"]).T, st_step["depth"][60:])
+    # num_leaves is the exact leapfrog count: bounded by 2^depth
+    assert np.all(st_step["num_leaves"] <= 2 ** st_step["depth"])
