@@ -42,4 +42,28 @@ from .ops.approx import (
 from .ops import celerite as celerite_ops
 from .ops import direct as direct_ops
 
-__version__ = "0.4.0"
+# The reference's remaining root exports (reference src/Pioran.jl:19-25),
+# so a Pioran.jl user finds every name at the package root here too.
+# mean/cov/std are methods on the PosteriorGP object rather than free
+# functions (models/gp.py), and QPO/feature -> celerite conversion is the
+# feature's .celerite_coefficients() method (models/psd.py).
+from .models.gp import (
+    ScalableGP,
+    GaussianProcess,
+    ConditionedGP,
+    PosteriorGP,
+    CustomMean,
+    posterior,
+)
+from .models.carma import CARMA, quad2roots, roots2coeffs
+from .ops.celerite import log_likelihood
+from .priors import (
+    TwoUniformDependent,
+    ThreeUniformDependent,
+    TwoLogUniformDependent,
+)
+from .utils.subset import extract_subset
+from .diagnostics.approx_checks import run_diagnostics, sample_approx_model
+from .diagnostics.ppc import run_posterior_predict_checks
+
+__version__ = "0.5.0"

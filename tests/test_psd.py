@@ -194,3 +194,26 @@ def test_approx_is_differentiable():
 
     g = jax.grad(bandpower_a1)(jnp.array([0.5, 0.01, 3.0, 1.3]))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_root_namespace_matches_reference_exports():
+    """Every name the reference exports from its root module
+    (reference src/Pioran.jl:19-25) resolves at the pioran_tpu package
+    root too, so a Pioran.jl user finds the full surface in one place.
+    (mean/cov/std are PosteriorGP methods; evaluate is the kernel
+    __call__; get_covariance_from_psd is approx — idiomatic renames.)"""
+    import pioran_tpu as pt
+
+    for name in [
+        "SHO", "Exp", "CARMA",  # src/Pioran.jl:19 (Celerite -> celerite_term)
+        "SingleBendingPowerLaw", "DoubleBendingPowerLaw", "PowerLaw",
+        "Lorentzian", "QPO", "approx",  # :20
+        "CustomMean", "ScalableGP", "posterior", "log_likelihood",  # :21-22
+        "quad2roots", "roots2coeffs", "run_diagnostics",
+        "run_posterior_predict_checks",  # :23
+        "extract_subset", "sample_approx_model",  # :24
+        "TwoUniformDependent", "TwoLogUniformDependent",
+        "ThreeUniformDependent",  # :25
+    ]:
+        assert hasattr(pt, name), name
+    import pioran_tpu.inference  # the sampler driver layer loads too
