@@ -575,7 +575,11 @@ def run_nuts_stepped(
     def trans_block(carry, its):
         return lax.scan(transition, carry, (its, its < num_warmup))
 
-    carry = init(z0, keys)
+    # jit the initial batched value_and_grad: eagerly it dispatches the
+    # whole likelihood graph op-by-op (hundreds of tiny compiles), which
+    # is both slow and has hit allocator instability under load; jitted
+    # it is one program, exactly like run_nuts's in-scan evaluation
+    carry = jax.jit(init)(z0, keys)
     total = num_warmup + num_samples
     samples, logps = [], []
     accepts, divs, depths, leaves = [], [], [], []
