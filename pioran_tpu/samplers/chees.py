@@ -325,7 +325,9 @@ def run_chees(
         logp_fn, C, dim, dtype, num_warmup, target_accept, max_leapfrogs,
         logp_batch_fn, mass=mass,
     )
-    carry = init(z0, key, initial_step_size, initial_traj_length)
+    # jitted init: eagerly the batched value_and_grad dispatches the
+    # likelihood graph op-by-op (slow; allocator churn under load)
+    carry = jax.jit(init)(z0, key, initial_step_size, initial_traj_length)
     total = num_warmup + num_samples
     its = jnp.arange(total)
     warm = its < num_warmup
@@ -385,7 +387,9 @@ def run_chees_stepped(
     def trans_block(carry, its, nw):
         return lax.scan(transition, carry, (its, its < nw))
 
-    carry = init(z0, key, initial_step_size, initial_traj_length)
+    # jitted init: eagerly the batched value_and_grad dispatches the
+    # likelihood graph op-by-op (slow; allocator churn under load)
+    carry = jax.jit(init)(z0, key, initial_step_size, initial_traj_length)
     total = num_warmup + num_samples
     samples, logps, accepts, nsteps = [], [], [], []
     for start in range(0, total, block):
